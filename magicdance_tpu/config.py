@@ -1,0 +1,329 @@
+"""Typed configuration system.
+
+Replaces the reference's three-way split of argparse flags (~60 flags,
+/root/reference/train_tiktok.py:1300-1435), OmegaConf YAML model configs
+(/root/reference/model_lib/ControlNet/models/*.yaml) and config-*filename*
+string dispatch (train_tiktok.py:788,802,827) with explicit, frozen
+dataclasses. Model variants are selected by an enum, not by YAML path
+matching. Everything is YAML/JSON-loadable via `from_dict` / `load_yaml`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+
+class ModelVariant(str, enum.Enum):
+    """Which control branches are active.
+
+    Mirrors the reference's three shipped YAMLs + the unshipped temporal stage
+    (cldm_v15.yaml / cldm_v15_reference_only.yaml /
+    cldm_v15_reference_only_pose.yaml; SURVEY.md §0).
+    """
+
+    SD = "sd"  # plain text-to-image SD1.5 (no control branches)
+    POSE = "pose"  # classic pose ControlNet only (cldm_v15.yaml)
+    APPEARANCE = "appearance"  # stage 1: appearance bank only
+    APPEARANCE_POSE = "appearance_pose"  # stage 2 / flagship MagicPose
+    APPEARANCE_POSE_TEMPORAL = "appearance_pose_temporal"  # stage 3 video
+
+
+class Parameterization(str, enum.Enum):
+    EPS = "eps"
+    X0 = "x0"
+    V = "v"
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    """SD1.5 UNet (ref: ldm/modules/diffusionmodules/openaimodel.py:432)."""
+
+    in_channels: int = 4
+    out_channels: int = 4
+    model_channels: int = 320
+    channel_mult: tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    # downsample factors at which SpatialTransformers are inserted
+    attention_resolutions: tuple[int, ...] = (4, 2, 1)
+    num_heads: int = 8
+    transformer_depth: int = 1
+    context_dim: int = 768
+    dropout: float = 0.0
+    # AnimateDiff-style temporal motion modules interleaved after spatial
+    # transformers (ref: motion_module.py, openaimodel.py:811 UNetModel_Temporal)
+    use_motion_modules: bool = False
+    motion_num_heads: int = 8
+    motion_max_len: int = 24
+    motion_layers: int = 1
+    # rematerialize each res/transformer block under jax.checkpoint
+    remat: bool = True
+
+    @property
+    def head_dim_at(self) -> dict[int, int]:
+        return {m: self.model_channels * m // self.num_heads for m in self.channel_mult}
+
+
+@dataclass(frozen=True)
+class ControlNetConfig:
+    """Pose ControlNet (ref: cldm/cldm.py:500)."""
+
+    hint_channels: int = 3
+    # architecture mirrors the UNet encoder; these are validated against the
+    # paired UNetConfig at model build time
+    model_channels: int = 320
+    channel_mult: tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    attention_resolutions: tuple[int, ...] = (4, 2, 1)
+    num_heads: int = 8
+    transformer_depth: int = 1
+    context_dim: int = 768
+    remat: bool = True
+
+
+@dataclass(frozen=True)
+class VAEConfig:
+    """AutoencoderKL (ref: ldm/models/autoencoder.py:13, ddconfig in YAMLs)."""
+
+    embed_dim: int = 4
+    z_channels: int = 4
+    base_channels: int = 128
+    channel_mult: tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    in_channels: int = 3
+    out_channels: int = 3
+    double_z: bool = True
+    scale_factor: float = 0.18215
+
+
+@dataclass(frozen=True)
+class CLIPTextConfig:
+    """FrozenCLIPEmbedder = openai/clip-vit-large-patch14 text tower
+    (ref: ldm/modules/encoders/modules.py:88)."""
+
+    vocab_size: int = 49408
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    max_length: int = 77
+    bos_token_id: int = 49406
+    eos_token_id: int = 49407
+
+
+@dataclass(frozen=True)
+class DiffusionConfig:
+    """DDPM schedule + loss (ref: ddpm.py:138 register_schedule, YAML params)."""
+
+    timesteps: int = 1000
+    beta_schedule: str = "linear"
+    linear_start: float = 0.00085
+    linear_end: float = 0.0120
+    cosine_s: float = 8e-3
+    parameterization: Parameterization = Parameterization.EPS
+    loss_type: str = "l2"
+    # weight of the simple loss; elbo weighting off by default like reference
+    l_simple_weight: float = 1.0
+    original_elbo_weight: float = 0.0
+    # v-posterior (ref DDPM.__init__ v_posterior, default 0)
+    v_posterior: float = 0.0
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    variant: ModelVariant = ModelVariant.APPEARANCE_POSE
+    unet: UNetConfig = field(default_factory=UNetConfig)
+    pose_control: ControlNetConfig = field(default_factory=ControlNetConfig)
+    vae: VAEConfig = field(default_factory=VAEConfig)
+    clip: CLIPTextConfig = field(default_factory=CLIPTextConfig)
+    diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)
+    latent_size: int = 64  # 512px / 8
+    # compute dtype for UNet/control branches ("bfloat16" | "float32")
+    dtype: str = "bfloat16"
+
+    @property
+    def has_appearance(self) -> bool:
+        return self.variant in (
+            ModelVariant.APPEARANCE,
+            ModelVariant.APPEARANCE_POSE,
+            ModelVariant.APPEARANCE_POSE_TEMPORAL,
+        )
+
+    @property
+    def has_pose(self) -> bool:
+        return self.variant in (
+            ModelVariant.POSE,
+            ModelVariant.APPEARANCE_POSE,
+            ModelVariant.APPEARANCE_POSE_TEMPORAL,
+        )
+
+    @property
+    def has_temporal(self) -> bool:
+        return self.variant is ModelVariant.APPEARANCE_POSE_TEMPORAL
+
+
+@dataclass(frozen=True)
+class SampleConfig:
+    """DDIM inference recipe (ref: test_tiktok.py:261-268)."""
+
+    steps: int = 50
+    cfg_scale: float = 7.0
+    eta: float = 0.0
+    # "controlnet_important": uncond pass drops BOTH control branches
+    # (ref: ddim.py:598-605) — i.e. uncond is a vanilla SD UNet forward.
+    control_mode: str = "controlnet_important"
+    # skip noising the reference latent ("wonoise", ref: ddpm.py:2173-2176)
+    wonoise: bool = True
+    # share the initial noise x_T across all frames of a sequence
+    # (ref: test_any_image_pose.py:201-202)
+    shared_noise: bool = True
+    # video overlap sampling (ref: ddim.py:569-594)
+    window: int = 16
+    stride: int = 12
+
+
+class FreezeRegime(str, enum.Enum):
+    """Parameter-freeze regimes (ref: train_tiktok.py:762-969)."""
+
+    ALL_TRAINABLE = "all"
+    # stage 1: train appearance branch + UNet attention layers
+    APPEARANCE_PRETRAIN = "appearance_pretrain"
+    # stage 2: UNet frozen, both control branches trainable
+    FINETUNE_CONTROL = "finetune_control"
+    # stage 3: only motion modules trainable
+    MOTION_ONLY = "motion_only"
+    # ControlNet-classic: control branch + unet decoder
+    FINETUNE_ATTN = "finetune_attn"
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    learning_rate: float = 1e-5
+    weight_decay: float = 0.0
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    grad_clip: float = 0.5
+    warmup_steps: int = 1000
+    grad_accum: int = 1
+    # ZeRO-1 analog: shard optimizer moments across the data axis
+    shard_opt_state: bool = True
+    ema_rate: float = 0.0  # reference default: EMA off (train_tiktok.py:586)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    freeze: FreezeRegime = FreezeRegime.FINETUNE_CONTROL
+    batch_size_per_device: int = 8
+    num_train_steps: int = 100000
+    seed: int = 42
+    image_size: int = 512
+    img_bin_limit: int = 29
+    # empty-text conditioning (the reference's --with_text flag *disables*
+    # text, train_tiktok.py:1396-1397; empty is the default training signal)
+    use_text: bool = False
+    logging_steps: int = 100
+    logging_gen_steps: int = 1000
+    save_steps: int = 2500
+    save_total_limit: int = 5
+    output_dir: str = "runs/default"
+    resume: bool = True
+    mesh_axes: tuple[str, ...] = ("data",)
+
+
+def _to_tuple(x: Any) -> Any:
+    if isinstance(x, list):
+        return tuple(_to_tuple(v) for v in x)
+    return x
+
+
+def from_dict(cls, d: dict[str, Any]):
+    """Recursively build a (frozen) dataclass from a plain dict."""
+    if not dataclasses.is_dataclass(cls):
+        raise TypeError(f"{cls} is not a dataclass")
+    kwargs = {}
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    for k, v in d.items():
+        if k not in fields:
+            raise KeyError(f"unknown config key {k!r} for {cls.__name__}")
+        f = fields[k]
+        ftype = f.type if not isinstance(f.type, str) else None
+        # resolve the declared type for nested dataclasses/enums
+        declared = f.default_factory() if f.default_factory is not dataclasses.MISSING else f.default  # type: ignore[misc]
+        if isinstance(v, dict) and dataclasses.is_dataclass(declared):
+            kwargs[k] = from_dict(type(declared), v)
+        elif isinstance(declared, enum.Enum) and isinstance(v, str):
+            kwargs[k] = type(declared)(v)
+        else:
+            kwargs[k] = _to_tuple(v)
+    return cls(**kwargs)
+
+
+def to_dict(cfg) -> dict[str, Any]:
+    def _convert(obj):
+        if dataclasses.is_dataclass(obj):
+            return {f.name: _convert(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+        if isinstance(obj, enum.Enum):
+            return obj.value
+        if isinstance(obj, tuple):
+            return [_convert(v) for v in obj]
+        return obj
+
+    return _convert(cfg)
+
+
+def load_json(path: str, cls=TrainConfig):
+    with open(path) as f:
+        return from_dict(cls, json.load(f))
+
+
+def load_yaml(path: str, cls=TrainConfig):
+    try:
+        import yaml  # type: ignore
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("pyyaml not available; use load_json") from e
+    with open(path) as f:
+        return from_dict(cls, yaml.safe_load(f))
+
+
+def save_json(cfg, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(to_dict(cfg), f, indent=2)
+
+
+# Canonical presets mirroring the reference's shipped YAML + script recipes.
+def stage1_appearance_pretrain() -> TrainConfig:
+    """scripts/appearance_control_pretraining.sh equivalent."""
+    return TrainConfig(
+        model=ModelConfig(variant=ModelVariant.APPEARANCE),
+        freeze=FreezeRegime.APPEARANCE_PRETRAIN,
+        batch_size_per_device=32,
+        img_bin_limit=15,
+    )
+
+
+def stage2_pose_control() -> TrainConfig:
+    """scripts/appearance_disentangle_pose_control.sh equivalent."""
+    return TrainConfig(
+        model=ModelConfig(variant=ModelVariant.APPEARANCE_POSE),
+        freeze=FreezeRegime.FINETUNE_CONTROL,
+        batch_size_per_device=8,
+        img_bin_limit=29,
+    )
+
+
+def stage3_motion() -> TrainConfig:
+    """Motion-module training (code-present-but-unshipped stage 3,
+    ref train_tiktok.py:847-956)."""
+    return TrainConfig(
+        model=ModelConfig(
+            variant=ModelVariant.APPEARANCE_POSE_TEMPORAL,
+            unet=UNetConfig(use_motion_modules=True),
+        ),
+        freeze=FreezeRegime.MOTION_ONLY,
+        batch_size_per_device=1,
+    )

@@ -1,0 +1,139 @@
+"""MagicPose composed model: main UNet + appearance branch + pose ControlNet.
+
+TPU-native equivalent of the ControlLDM* heads
+(ref: cldm/cldm.py:1055 ControlLDMReferenceOnly, :1087
+ControlLDMReferenceOnlyPose, :760 ControlLDM) and their `apply_model`
+dispatch (cldm.py:1099-1117):
+
+  * appearance branch (ControlNetReferenceOnly, cldm.py:164-497): a full UNet
+    copy run on the (optionally noised) reference latent in bank-write mode;
+    here it is simply a second `UNet` whose bank output pytree is passed to
+    the main UNet — no mutable side-channel, no attn_index walk.
+  * pose branch (ControlNet, cldm.py:500-757): returns the 13 zero-conv
+    residuals.
+  * CFG uncond pass (`uc=True`): vanilla SD forward, both branches skipped
+    entirely. The reference *computes* the pose branch in the uncond pass and
+    then discards it (cldm.py:1112-1114 vs 71-84) — we skip the wasted work;
+    outputs are identical.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from magicdance_tpu.config import ModelConfig, UNetConfig
+from magicdance_tpu.models.controlnet import PoseControlNet
+from magicdance_tpu.models.unet import Bank, UNet
+
+
+def appearance_unet_config(cfg: ModelConfig) -> UNetConfig:
+    """The appearance branch shares the UNet architecture but never carries
+    motion modules (ref: appearance model is spatial-only even in stage 3)."""
+    return UNetConfig(
+        in_channels=cfg.unet.in_channels,
+        out_channels=cfg.unet.out_channels,
+        model_channels=cfg.unet.model_channels,
+        channel_mult=cfg.unet.channel_mult,
+        num_res_blocks=cfg.unet.num_res_blocks,
+        attention_resolutions=cfg.unet.attention_resolutions,
+        num_heads=cfg.unet.num_heads,
+        transformer_depth=cfg.unet.transformer_depth,
+        context_dim=cfg.unet.context_dim,
+        dropout=cfg.unet.dropout,
+        use_motion_modules=False,
+        remat=cfg.unet.remat,
+    )
+
+
+class MagicPoseModel(nn.Module):
+    """Denoiser composite. VAE and CLIP live outside (frozen, applied once per
+    batch, ref ddpm.py:1895-1907) — this module is exactly the per-step hot
+    path."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        self.unet = UNet(self.cfg.unet)
+        if self.cfg.has_appearance:
+            self.appearance_unet = UNet(appearance_unet_config(self.cfg))
+        if self.cfg.has_pose:
+            self.pose_control = PoseControlNet(self.cfg.pose_control)
+
+    def compute_bank(
+        self,
+        reference_noisy: jax.Array,
+        timesteps: jax.Array,
+        context: jax.Array,
+        deterministic: bool = True,
+    ) -> Bank:
+        """Run the appearance UNet in write mode (ref cldm.py:469-497). The
+        eps output is discarded; only the bank matters."""
+        _, bank = self.appearance_unet(
+            reference_noisy,
+            timesteps,
+            context,
+            collect_bank=True,
+            deterministic=deterministic,
+            dtype=self._dtype(),
+        )
+        return bank
+
+    def _dtype(self):
+        return jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
+
+    def __call__(
+        self,
+        x_noisy: jax.Array,
+        timesteps: jax.Array,
+        context: jax.Array,
+        *,
+        reference_noisy: Optional[jax.Array] = None,
+        pose_hint: Optional[jax.Array] = None,
+        bank: Optional[Bank] = None,
+        uc: bool = False,
+        num_frames: int = 1,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """eps/v prediction (ref cldm.py:1099-1117 apply_model).
+
+        Either pass `reference_noisy` (bank computed inline, training path) or
+        a precomputed `bank` (inference path where one reference serves many
+        frames/steps). `uc=True` is the CFG uncond vanilla-SD pass.
+        """
+        dtype = self._dtype()
+        if uc:
+            out, _ = self.unet(
+                x_noisy, timesteps, context, num_frames=num_frames,
+                deterministic=deterministic, dtype=dtype,
+            )
+            return out
+
+        if bank is None and self.cfg.has_appearance and reference_noisy is not None:
+            # reference branch uses the same timestep trajectory as the main
+            # latent (ref ddpm.py:2165-2179)
+            t_ref = timesteps
+            if reference_noisy.shape[0] != timesteps.shape[0]:
+                t_ref = timesteps[: reference_noisy.shape[0]]
+            ctx_ref = context
+            if context.shape[0] != reference_noisy.shape[0]:
+                ctx_ref = context[: reference_noisy.shape[0]]
+            bank = self.compute_bank(reference_noisy, t_ref, ctx_ref,
+                                     deterministic=deterministic)
+
+        pose_residuals = None
+        if self.cfg.has_pose and pose_hint is not None:
+            pose_residuals = self.pose_control(
+                x_noisy, pose_hint, timesteps, context,
+                deterministic=deterministic, dtype=dtype,
+            )
+
+        out, _ = self.unet(
+            x_noisy, timesteps, context,
+            bank=bank, pose_residuals=pose_residuals, num_frames=num_frames,
+            deterministic=deterministic, dtype=dtype,
+        )
+        return out

@@ -1,0 +1,246 @@
+"""SD1.5 UNet with appearance-bank and pose-ControlNet hooks.
+
+One Flax module covers all four reference UNet variants
+(ref: ldm/modules/diffusionmodules/openaimodel.py:432 UNetModel,
+cldm/cldm.py:27 ControlledUnetModel, :59 ControlledUnetModelAttnPose,
+:115 ControlledUnetModelAttn, openaimodel.py:811 UNetModel_Temporal):
+
+  * `collect_bank=True`  — appearance "write" pass: every BasicTransformerBlock
+    returns its pre-self-attention hidden states; the tuple of all entries (in
+    fixed module-traversal order) is the appearance bank
+    (ref: attention.py:287-298 write mode; cldm.py:469-497).
+  * `bank=(...)`         — main "read" pass: each block's self-attention K/V
+    additionally attend over the matching bank entry
+    (ref: attention.py:301-313; cldm.py:59-112).
+  * `bank=None, collect_bank=False` — plain SD1.5 forward (the CFG uncond
+    path, ref cldm.py:71-84).
+  * `pose_residuals=(r0..r11, r_mid)` — classic ControlNet residuals added at
+    the middle block and each decoder skip (ref: cldm.py:93-104).
+  * `num_frames>1` with cfg.use_motion_modules — AnimateDiff temporal
+    attention interleaved after every res/attn unit
+    (ref: openaimodel.py:1015-1024,1093,1172; motion_module.py).
+
+Architecture (SD1.5): 320 base channels, mult (1,2,4,4), 2 res blocks/level,
+spatial transformers at downsample factors 1/2/4, 8 heads, context dim 768
+(ref: models/cldm_v15_reference_only_pose.yaml).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from magicdance_tpu.config import UNetConfig
+from magicdance_tpu.models.layers import (
+    Downsample,
+    GroupNorm32,
+    ResBlock,
+    SpatialTransformer,
+    TemporalTransformer,
+    TimestepEmbedMLP,
+    Upsample,
+    conv3x3,
+    nonlinearity,
+)
+from magicdance_tpu.ops.schedules import timestep_embedding
+
+Bank = Tuple[jax.Array, ...]
+
+
+def unet_plan(cfg: UNetConfig):
+    """Static block plan shared by UNet and the pose ControlNet encoder.
+
+    Returns (enc_units, enc_channels, ds_trace):
+      enc_units: list over encoder units of dicts
+        {kind: "res"|"down", ch: out_channels, attn: bool, level: int}
+      enc_channels: skip-connection channel list (incl. conv_in), length 12
+        for SD1.5.
+    """
+    units = []
+    skip_ch = [cfg.model_channels]
+    ch = cfg.model_channels
+    ds = 1
+    for level, mult in enumerate(cfg.channel_mult):
+        out_ch = cfg.model_channels * mult
+        for _ in range(cfg.num_res_blocks):
+            units.append(dict(kind="res", ch=out_ch, attn=ds in cfg.attention_resolutions,
+                              level=level, ds=ds))
+            ch = out_ch
+            skip_ch.append(ch)
+        if level != len(cfg.channel_mult) - 1:
+            units.append(dict(kind="down", ch=ch, attn=False, level=level, ds=ds))
+            ds *= 2
+            skip_ch.append(ch)
+    return units, skip_ch, ds
+
+
+def num_bank_entries(cfg: UNetConfig) -> int:
+    """Bank sites in traversal order: encoder + middle + decoder."""
+    units, _, _ = unet_plan(cfg)
+    enc = sum(1 for u in units if u["attn"])
+    mid = 1
+    dec = 0
+    ds = max(1, 2 ** (len(cfg.channel_mult) - 1))
+    for level in reversed(range(len(cfg.channel_mult))):
+        for _ in range(cfg.num_res_blocks + 1):
+            if ds in cfg.attention_resolutions:
+                dec += 1
+        if level != 0:
+            ds //= 2
+    return (enc + mid + dec) * cfg.transformer_depth
+
+
+class UNet(nn.Module):
+    cfg: UNetConfig
+
+    def _dtype(self):
+        return jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        timesteps: jax.Array,
+        context: Optional[jax.Array],
+        *,
+        bank: Optional[Bank] = None,
+        collect_bank: bool = False,
+        pose_residuals: Optional[Tuple[jax.Array, ...]] = None,
+        num_frames: int = 1,
+        deterministic: bool = True,
+        dtype: jnp.dtype = jnp.bfloat16,
+    ) -> Tuple[jax.Array, Bank]:
+        """Returns (eps_prediction, bank_written).
+
+        x: (B, H, W, C) latents (B = batch*frames when temporal).
+        timesteps: (B,) int32.
+        context: (B_ctx, 77, context_dim) CLIP states or None (-> zeros ctx is
+          the caller's job; reference always passes CLIP("") at minimum).
+        bank: tuple of (B_bank, S_i, C_i) appearance entries (B_bank ∈ {1, B}).
+        pose_residuals: 13-tuple, [0..11] per-encoder-skip, [12] middle.
+        """
+        cfg = self.cfg
+        assert bank is None or not collect_bank, "write and read are exclusive"
+        if bank is not None:
+            assert len(bank) == num_bank_entries(cfg), (
+                f"bank has {len(bank)} entries, expected {num_bank_entries(cfg)}"
+            )
+
+        t_emb = timestep_embedding(timesteps, cfg.model_channels, dtype=dtype)
+        emb = TimestepEmbedMLP(cfg.model_channels, dtype=dtype, name="time_embed")(t_emb)
+
+        use_mm = cfg.use_motion_modules and num_frames > 1
+
+        bank_written: list[jax.Array] = []
+        bank_read = list(bank) if bank is not None else None
+
+        def take_bank(n: int):
+            if bank_read is None:
+                return None
+            return tuple(bank_read.pop(0) for _ in range(n))
+
+        def motion(h, name):
+            if not cfg.use_motion_modules:
+                return h
+            if not use_mm:
+                # params must exist even for single-frame calls so the
+                # checkpoint layout is frame-count independent
+                return TemporalTransformer(
+                    num_heads=cfg.motion_num_heads, max_len=cfg.motion_max_len,
+                    num_layers=cfg.motion_layers, dtype=dtype, name=name,
+                )(h[:, None])[:, 0]
+            b2, hh, ww, c = h.shape
+            hv = h.reshape(b2 // num_frames, num_frames, hh, ww, c)
+            hv = TemporalTransformer(
+                num_heads=cfg.motion_num_heads, max_len=cfg.motion_max_len,
+                num_layers=cfg.motion_layers, dtype=dtype, name=name,
+            )(hv)
+            return hv.reshape(b2, hh, ww, c)
+
+        x = x.astype(dtype)
+        if context is not None:
+            context = context.astype(dtype)
+
+        # --- encoder -------------------------------------------------------
+        units, _, final_ds = unet_plan(cfg)
+        h = conv3x3(cfg.model_channels, dtype=dtype, name="conv_in")(x)
+        hs = [h]
+        res_i = down_i = attn_i = mm_i = 0
+        for u in units:
+            if u["kind"] == "res":
+                h = ResBlock(u["ch"], dropout=cfg.dropout, dtype=dtype,
+                             name=f"enc_res_{res_i}")(h, emb, deterministic=deterministic)
+                res_i += 1
+                if u["attn"]:
+                    head_dim = u["ch"] // cfg.num_heads
+                    h, written = SpatialTransformer(
+                        num_heads=cfg.num_heads, head_dim=head_dim,
+                        depth=cfg.transformer_depth, dtype=dtype,
+                        name=f"enc_attn_{attn_i}",
+                    )(h, context, bank_entries=take_bank(cfg.transformer_depth),
+                      collect=collect_bank)
+                    attn_i += 1
+                    bank_written.extend(written)
+                h = motion(h, f"enc_motion_{mm_i}")
+                mm_i += 1
+                hs.append(h)
+            else:
+                h = Downsample(u["ch"], dtype=dtype, name=f"enc_down_{down_i}")(h)
+                down_i += 1
+                hs.append(h)
+
+        # --- middle --------------------------------------------------------
+        mid_ch = cfg.model_channels * cfg.channel_mult[-1]
+        h = ResBlock(mid_ch, dropout=cfg.dropout, dtype=dtype, name="mid_res_0")(
+            h, emb, deterministic=deterministic)
+        h, written = SpatialTransformer(
+            num_heads=cfg.num_heads, head_dim=mid_ch // cfg.num_heads,
+            depth=cfg.transformer_depth, dtype=dtype, name="mid_attn",
+        )(h, context, bank_entries=take_bank(cfg.transformer_depth), collect=collect_bank)
+        bank_written.extend(written)
+        h = ResBlock(mid_ch, dropout=cfg.dropout, dtype=dtype, name="mid_res_1")(
+            h, emb, deterministic=deterministic)
+
+        if pose_residuals is not None:
+            h = h + pose_residuals[-1].astype(h.dtype)
+
+        # --- decoder -------------------------------------------------------
+        ds = final_ds
+        dec_i = up_i = dattn_i = dmm_i = 0
+        n_skips = len(hs)
+        for level in reversed(range(len(cfg.channel_mult))):
+            out_ch = cfg.model_channels * cfg.channel_mult[level]
+            for i in range(cfg.num_res_blocks + 1):
+                skip = hs.pop()
+                if pose_residuals is not None:
+                    skip = skip + pose_residuals[len(hs)].astype(skip.dtype)
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = ResBlock(out_ch, dropout=cfg.dropout, dtype=dtype,
+                             name=f"dec_res_{dec_i}")(h, emb, deterministic=deterministic)
+                dec_i += 1
+                if ds in cfg.attention_resolutions:
+                    h, written = SpatialTransformer(
+                        num_heads=cfg.num_heads, head_dim=out_ch // cfg.num_heads,
+                        depth=cfg.transformer_depth, dtype=dtype,
+                        name=f"dec_attn_{dattn_i}",
+                    )(h, context, bank_entries=take_bank(cfg.transformer_depth),
+                      collect=collect_bank)
+                    dattn_i += 1
+                    bank_written.extend(written)
+                h = motion(h, f"dec_motion_{dmm_i}")
+                dmm_i += 1
+                if level != 0 and i == cfg.num_res_blocks:
+                    h = Upsample(out_ch, dtype=dtype, name=f"dec_up_{up_i}")(h)
+                    up_i += 1
+                    ds //= 2
+        assert not hs, "skip bookkeeping mismatch"
+        if bank_read is not None:
+            assert not bank_read, "unconsumed bank entries"
+
+        h = GroupNorm32(name="norm_out")(h)
+        h = nonlinearity(h)
+        h = conv3x3(cfg.out_channels, dtype=dtype, name="conv_out", zero_init=True)(h)
+        return h.astype(jnp.float32), tuple(bank_written)

@@ -1,0 +1,130 @@
+"""Attention primitives: XLA reference paths + Pallas dispatch.
+
+The reference delegates attention to xformers `memory_efficient_attention`
+(ref: ldm/modules/attention.py:202-250) with an fp32-logit fallback
+(attention.py:22,179-184, ATTN_PRECISION). Here the baseline path is plain
+XLA einsum attention with fp32 softmax (XLA fuses this well on TPU), and the
+hot shapes (bank-read self-attention, temporal attention) can dispatch to
+fused Pallas flash kernels (`magicdance_tpu.ops.flash_attention`).
+
+Layout convention: (batch, seq, heads, head_dim) — "BSNH" — throughout.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _xla_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+) -> jax.Array:
+    """Plain attention, fp32 logits/softmax, output in q.dtype.
+
+    q: (B, Sq, H, D); k/v: (B, Sk, H, D).
+    """
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.astype(q.dtype)
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+) -> jax.Array:
+    """Multi-head attention over BSNH tensors.
+
+    impl: "xla" | "flash" | "auto". "auto" picks the Pallas flash kernel on
+    TPU for shapes where it wins (long self-attention sequences), else XLA.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if impl == "auto":
+        impl = _pick_impl(q, k)
+    if impl == "flash":
+        from magicdance_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+    return _xla_attention(q, k, v, scale)
+
+
+def _pick_impl(q: jax.Array, k: jax.Array) -> str:
+    on_tpu = jax.default_backend() == "tpu"
+    sq, sk = q.shape[1], k.shape[1]
+    # flash pays off once the logits matrix stops fitting comfortably in VMEM;
+    # short cross-attention (77-token context) stays on the XLA path.
+    if on_tpu and sq >= 1024 and sk >= 1024:
+        return "flash"
+    return "xla"
+
+
+def bank_read_attention(
+    q: jax.Array,
+    k_self: jax.Array,
+    v_self: jax.Array,
+    k_bank: jax.Array,
+    v_bank: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+) -> jax.Array:
+    """Self-attention whose K/V are the union of the layer's own sequence and
+    the appearance bank sequence (ref: attention.py:301-313 "read" mode:
+    `context = cat([x_norm, *bank], dim=1)`).
+
+    The bank may have batch 1 while q has batch B (one reference image shared
+    by all frames / CFG replicas); it is broadcast without materializing
+    B copies on the XLA path.
+
+    q/k_self/v_self: (B, S, H, D); k_bank/v_bank: (Bb, Sb, H, D), Bb ∈ {1, B}.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    B = q.shape[0]
+    if impl == "auto":
+        impl = _pick_impl(q, k_self)
+    if impl == "flash":
+        from magicdance_tpu.ops.flash_attention import flash_attention_two_source
+
+        return flash_attention_two_source(
+            q, k_self, v_self, k_bank, v_bank, scale=scale
+        )
+    # XLA path: two logit blocks, one fused softmax over the concat axis.
+    logits_s = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k_self, preferred_element_type=jnp.float32
+    )
+    logits_b = jnp.einsum(
+        "bqhd,Bkhd->bhqk" if k_bank.shape[0] == 1 else "bqhd,bkhd->bhqk",
+        q,
+        k_bank,
+        preferred_element_type=jnp.float32,
+    )
+    logits = jnp.concatenate([logits_s, logits_b], axis=-1) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    ns = k_self.shape[1]
+    p_s, p_b = probs[..., :ns], probs[..., ns:]
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", p_s.astype(v_self.dtype), v_self,
+        preferred_element_type=jnp.float32,
+    )
+    out = out + jnp.einsum(
+        "bhqk,Bkhd->bqhd" if v_bank.shape[0] == 1 else "bhqk,bkhd->bqhd",
+        p_b.astype(v_bank.dtype),
+        v_bank,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)

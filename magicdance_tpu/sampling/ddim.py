@@ -1,0 +1,152 @@
+"""DDIM sampling compiled to a single `lax.scan`.
+
+TPU-first rewrite of DDIMSampler_ReferenceOnly
+(ref: ldm/models/diffusion/ddim.py:346-645): the reference runs 50 Python
+iterations, each dispatching 3 UNet-scale forwards (appearance write, main
+cond read, plain uncond) plus a pose-CN forward; here the whole trajectory is
+ONE compiled program — the step loop is `lax.scan`, per-step timestep values
+are gathered from precomputed `DDIMSchedule` arrays, and the CFG structure is
+static so exactly the needed UNet graph variants compile once each.
+
+Structural wins over the reference on the frame axis: all F frames of a
+sequence are one batch, and the appearance bank — which depends only on
+(reference latent, t) — is computed ONCE per step for the whole frame batch
+(batch-1 bank broadcast inside the attention kernel) instead of per frame.
+
+Reference quirks preserved (SURVEY.md §7 "hard parts" #4):
+  * `wonoise=True` skips re-noising the reference latent (ddpm.py:2173-2176);
+    otherwise fresh noise is drawn every step (ddim.py:529-535).
+  * `controlnet_important` CFG: the uncond pass drops BOTH control branches —
+    vanilla SD forward (ddim.py:598-605, cldm.py:71-84).
+  * shared x_T noise across frames is the caller's choice of x_T
+    (test_any_image_pose.py:201-202).
+  * v-parameterization eps conversion (ddim.py:608-631).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from magicdance_tpu.config import Parameterization, SampleConfig
+from magicdance_tpu.ops.schedules import (
+    DDIMSchedule,
+    DiffusionSchedule,
+    predict_eps_from_v,
+    q_sample,
+)
+
+
+def ddim_step(
+    x: jax.Array,
+    eps: jax.Array,
+    alpha: jax.Array,
+    alpha_prev: jax.Array,
+    sqrt_one_minus_alpha: jax.Array,
+    sigma: jax.Array,
+    noise: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """One DDIM update x_t -> x_{t-1} (ref ddim.py:633-645). Returns
+    (x_prev, pred_x0)."""
+    pred_x0 = (x - sqrt_one_minus_alpha * eps) / jnp.sqrt(alpha)
+    dir_xt = jnp.sqrt(jnp.maximum(1.0 - alpha_prev - sigma**2, 0.0)) * eps
+    x_prev = jnp.sqrt(alpha_prev) * pred_x0 + dir_xt + sigma * noise
+    return x_prev, pred_x0
+
+
+def ddim_sample(
+    model: Any,
+    params: Any,
+    sched: DiffusionSchedule,
+    ddim: DDIMSchedule,
+    scfg: SampleConfig,
+    rng: jax.Array,
+    x_T: jax.Array,
+    context: jax.Array,
+    uncond_context: Optional[jax.Array] = None,
+    *,
+    reference_latent: Optional[jax.Array] = None,
+    pose_hint: Optional[jax.Array] = None,
+    parameterization: Parameterization = Parameterization.EPS,
+    num_frames: int = 1,
+) -> jax.Array:
+    """Sample latents x_0 given x_T.
+
+    model: a MagicPoseModel (nn.Module); params: its variables pytree.
+    x_T: (B, h, w, 4); context/uncond_context: (1 or B, 77, 768);
+    reference_latent: (Br, h, w, 4) with Br ∈ {1, B}; pose_hint: (B, H, W, 3).
+    """
+    B = x_T.shape[0]
+    S = ddim.num_steps
+    use_cfg = scfg.cfg_scale != 1.0 and uncond_context is not None
+
+    def tile_ctx(c):
+        if c is None:
+            return None
+        return jnp.broadcast_to(c, (B,) + c.shape[1:]) if c.shape[0] == 1 else c
+
+    ctx = tile_ctx(context)
+    uctx = tile_ctx(uncond_context)
+
+    has_appearance = reference_latent is not None and model.cfg.has_appearance
+    ref_ctx = context[:1] if context is not None else None
+
+    def to_eps(model_out, x, t):
+        if parameterization is Parameterization.V:
+            return predict_eps_from_v(sched, x, t, model_out)
+        return model_out
+
+    def body(carry, i):
+        x, step_rng = carry
+        step = S - 1 - i  # scan descends t
+        t_scalar = ddim.timesteps[step]
+        t = jnp.full((B,), t_scalar, dtype=jnp.int32)
+        step_rng, rng_ref, rng_sig = jax.random.split(step_rng, 3)
+
+        bank = None
+        if has_appearance:
+            if scfg.wonoise:
+                ref_noisy = reference_latent
+            else:
+                ref_noise = jax.random.normal(
+                    rng_ref, reference_latent.shape, dtype=reference_latent.dtype
+                )
+                t_ref = jnp.full((reference_latent.shape[0],), t_scalar, jnp.int32)
+                ref_noisy = q_sample(sched, reference_latent, t_ref, ref_noise)
+            bank = model.apply(
+                params,
+                ref_noisy,
+                jnp.full((reference_latent.shape[0],), t_scalar, jnp.int32),
+                ref_ctx,
+                method=model.compute_bank,
+            )
+
+        eps_c = model.apply(
+            params, x, t, ctx,
+            bank=bank, pose_hint=pose_hint, num_frames=num_frames,
+        )
+        eps_c = to_eps(eps_c, x, t)
+        if use_cfg:
+            eps_u = model.apply(params, x, t, uctx, uc=True, num_frames=num_frames)
+            eps_u = to_eps(eps_u, x, t)
+            eps = eps_u + scfg.cfg_scale * (eps_c - eps_u)
+        else:
+            eps = eps_c
+
+        noise = (
+            jax.random.normal(rng_sig, x.shape, dtype=x.dtype)
+            if scfg.eta > 0
+            else jnp.zeros_like(x)
+        )
+        x_prev, _ = ddim_step(
+            x, eps,
+            ddim.alphas[step], ddim.alphas_prev[step],
+            ddim.sqrt_one_minus_alphas[step], ddim.sigmas[step],
+            noise,
+        )
+        return (x_prev, step_rng), None
+
+    (x0, _), _ = jax.lax.scan(body, (x_T, rng), jnp.arange(S))
+    return x0
