@@ -1,0 +1,136 @@
+"""Zero-shot pose retargeting CLI: one reference image + a pose-map folder →
+a generated frame sequence (+ optional GIF/MP4).
+
+The product equivalent of the reference's test_any_image_pose.py
+(:46-82 center-crop preprocessing, :139-172 cond prep, :210-262 frame loop,
+scripts/inference_any_image_pose.sh flag set). Frames are generated as ONE
+batch under a single jit instead of a Python frame loop.
+
+Usage:
+  python -m magicdance_tpu.cli.sample \
+    --checkpoint pretrained_weights/model_state-110000.th \
+    --reference example_data/image/ref.png \
+    --pose_dir example_data/pose_sequence/001 \
+    --output out/ [--steps 50] [--cfg 7.0] [--size 512] [--gif]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", default=None,
+                   help=".th/.ckpt reference checkpoint (converted on load); "
+                        "omit for random weights (smoke tests)")
+    p.add_argument("--reference", required=True, help="reference image path")
+    p.add_argument("--pose_dir", required=True, help="folder of pose maps")
+    p.add_argument("--output", required=True)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--cfg", type=float, default=7.0)
+    p.add_argument("--eta", type=float, default=0.0)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--batch", type=int, default=0,
+                   help="frames per device batch (0 = all at once)")
+    p.add_argument("--prompt", default="", help="text prompt (default empty, "
+                   "matching the reference recipe)")
+    p.add_argument("--merges", default=None, help="CLIP BPE merges file "
+                   "(needed only for non-empty prompts)")
+    p.add_argument("--gif", action="store_true")
+    p.add_argument("--mp4", action="store_true")
+    p.add_argument("--no_pose_noise", dest="wonoise", action="store_true",
+                   default=True)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_argparser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from magicdance_tpu.config import ModelConfig, SampleConfig
+    from magicdance_tpu.data.tokenizer import CLIPTokenizer
+    from magicdance_tpu.data.transforms import (
+        prepare_image,
+        to_hint_range,
+        to_model_range,
+        from_model_range,
+    )
+    from magicdance_tpu.pipeline import MagicPosePipeline
+
+    cfg = ModelConfig()
+    pipe = MagicPosePipeline(cfg, tokenizer=CLIPTokenizer(args.merges))
+    if args.checkpoint:
+        from magicdance_tpu.convert.torch_convert import (
+            convert_magicpose_state,
+            load_torch_state,
+            to_jax,
+        )
+
+        sd = load_torch_state(args.checkpoint)
+        pipe.params = to_jax(convert_magicpose_state(sd, cfg))
+        pipe.cast_model_params(jnp.bfloat16)
+    else:
+        print("[sample] no checkpoint given — random weights (smoke mode)")
+        pipe.fast_init_params(jax.random.PRNGKey(0), image_size=args.size)
+        pipe.cast_model_params(jnp.bfloat16)
+
+    ref = np.asarray(Image.open(args.reference).convert("RGB"))
+    ref = to_model_range(prepare_image(ref, args.size))[None]
+
+    pose_files = sorted(
+        f for f in os.listdir(args.pose_dir)
+        if f.lower().endswith((".png", ".jpg", ".jpeg"))
+    )
+    poses = np.stack([
+        to_hint_range(
+            prepare_image(
+                np.asarray(Image.open(os.path.join(args.pose_dir, f)).convert("RGB")),
+                args.size,
+            )
+        )
+        for f in pose_files
+    ])
+
+    scfg = SampleConfig(steps=args.steps, cfg_scale=args.cfg, eta=args.eta,
+                        wonoise=args.wonoise)
+    os.makedirs(args.output, exist_ok=True)
+    rng = jax.random.PRNGKey(args.seed)
+
+    B = args.batch if args.batch > 0 else len(poses)
+    frames = []
+    for i in range(0, len(poses), B):
+        chunk = poses[i : i + B]
+        if len(chunk) < B:  # pad to keep one compiled shape
+            pad = B - len(chunk)
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+        else:
+            pad = 0
+        imgs = pipe.sample_frames(rng, jnp.asarray(chunk), jnp.asarray(ref), scfg)
+        imgs = np.asarray(imgs)
+        if pad:
+            imgs = imgs[:-pad]
+        frames.extend(from_model_range(f) for f in imgs)
+
+    for name, frame in zip(pose_files, frames):
+        Image.fromarray(frame).save(os.path.join(args.output, name))
+    print(f"[sample] wrote {len(frames)} frames to {args.output}")
+
+    if args.gif or args.mp4:
+        from magicdance_tpu.utils.video import frames_to_gif, frames_to_mp4
+
+        if args.gif:
+            print("[sample]", frames_to_gif(frames, os.path.join(args.output, "out.gif")))
+        if args.mp4:
+            print("[sample]", frames_to_mp4(frames, os.path.join(args.output, "out.mp4")))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+"""Training CLI: two-stage MagicPose curriculum on a TPU mesh.
+
+The product equivalent of the reference's train_tiktok.py entry
+(ref: train_tiktok.py:546 main; scripts/appearance_control_pretraining.sh and
+scripts/appearance_disentangle_pose_control.sh recipes). Stage selection is
+explicit (`--stage 1|2|3` or a JSON config), not YAML-filename string
+matching (SURVEY.md §5 "Config / flag system" traps).
+
+Usage:
+  python -m magicdance_tpu.cli.train --stage 2 --data TikTok-v4 \
+      --output runs/stage2 [--init_checkpoint ...th] [--steps 100000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default=None, help="TrainConfig JSON")
+    p.add_argument("--stage", type=int, default=2, choices=(1, 2, 3))
+    p.add_argument("--data", required=True, help="TikTok-v4 root")
+    p.add_argument("--output", required=True)
+    p.add_argument("--init_checkpoint", default=None,
+                   help="torch checkpoint to initialize from (converted)")
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--batch", type=int, default=None, help="per-device batch")
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--image_size", type=int, default=512)
+    p.add_argument("--resume", action="store_true", default=True)
+    p.add_argument("--save_steps", type=int, default=None)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_argparser().parse_args(argv)
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from magicdance_tpu import config as C
+    from magicdance_tpu.data.loader import PrefetchLoader
+    from magicdance_tpu.data.tiktok import TikTokPairDataset
+    from magicdance_tpu.data.tokenizer import empty_prompt_ids
+    from magicdance_tpu.models import AutoencoderKL, CLIPTextEncoder, MagicPoseModel
+    from magicdance_tpu.parallel.mesh import batch_sharding, make_mesh
+    from magicdance_tpu.train.checkpoint import CheckpointManager
+    from magicdance_tpu.train.trainer import Trainer
+    from magicdance_tpu.utils.logging import MetricLogger
+
+    if args.config:
+        cfg = C.load_json(args.config, C.TrainConfig)
+    else:
+        cfg = {1: C.stage1_appearance_pretrain,
+               2: C.stage2_pose_control,
+               3: C.stage3_motion}[args.stage]()
+    updates = {}
+    if args.steps:
+        updates["num_train_steps"] = args.steps
+    if args.batch:
+        updates["batch_size_per_device"] = args.batch
+    if args.save_steps:
+        updates["save_steps"] = args.save_steps
+    updates["output_dir"] = args.output
+    updates["seed"] = args.seed
+    updates["image_size"] = args.image_size
+    cfg = dataclasses.replace(cfg, **updates)
+    if args.lr:
+        cfg = dataclasses.replace(
+            cfg, optim=dataclasses.replace(cfg.optim, learning_rate=args.lr)
+        )
+
+    os.makedirs(args.output, exist_ok=True)
+    C.save_json(cfg, os.path.join(args.output, "config.json"))
+
+    mesh = make_mesh(cfg.mesh_axes)
+    n_dev = mesh.devices.size
+    global_batch = cfg.batch_size_per_device * n_dev
+    print(f"[train] mesh={mesh.shape} global_batch={global_batch}")
+
+    model = MagicPoseModel(cfg.model)
+    vae = AutoencoderKL(cfg.model.vae)
+    clip = CLIPTextEncoder(cfg.model.clip)
+    trainer = Trainer(cfg, model, vae, clip, mesh=mesh)
+
+    # ---- parameter init -------------------------------------------------
+    rng = jax.random.PRNGKey(cfg.seed)
+    if args.init_checkpoint:
+        from magicdance_tpu.convert.torch_convert import (
+            convert_magicpose_state,
+            load_torch_state,
+            to_jax,
+        )
+
+        sd = load_torch_state(args.init_checkpoint)
+        tree = to_jax(convert_magicpose_state(sd, cfg.model))
+        mp, vp, cp = tree["model"], tree.get("vae"), tree.get("clip")
+        if vp is None or cp is None:
+            raise ValueError("checkpoint lacks VAE/CLIP weights; supply a full "
+                             "model_state/.ckpt file")
+    else:
+        print("[train] random init (no --init_checkpoint)")
+        latent = cfg.image_size // 8
+        x = jnp.zeros((1, latent, latent, 4))
+        kw = {}
+        if cfg.model.has_appearance:
+            kw["reference_noisy"] = x
+        if cfg.model.has_pose:
+            kw["pose_hint"] = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+        mp = model.init(rng, x, jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1, cfg.model.clip.max_length,
+                                   cfg.model.unet.context_dim)), **kw)
+        vp = vae.init(rng, jnp.zeros((1, cfg.image_size, cfg.image_size, 3)), rng)
+        cp = clip.init(rng, jnp.zeros((1, cfg.model.clip.max_length), jnp.int32))
+
+    state = trainer.create_state(mp, vp, cp)
+    ckpt = CheckpointManager(os.path.join(args.output, "checkpoints"),
+                             cfg.save_total_limit)
+    start_step = 0
+    if args.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(target=state)
+        start_step = int(state.step)
+        print(f"[train] resumed from step {start_step}")
+
+    # ---- data -----------------------------------------------------------
+    ids = empty_prompt_ids(global_batch, cfg.model.clip.max_length)
+
+    def it_factory(worker: int):
+        ds = TikTokPairDataset(
+            root=args.data,
+            image_size=cfg.image_size,
+            img_bin_limit=cfg.img_bin_limit,
+            use_pose=cfg.model.has_pose,
+            seed=cfg.seed * 1000 + worker,
+        )
+        for batch in ds.batches(global_batch):
+            batch["input_ids"] = ids
+            if not cfg.model.has_pose:
+                batch.pop("pose", None)
+            yield batch
+
+    loader = PrefetchLoader(it_factory, workers=2,
+                            sharding=batch_sharding(mesh))
+
+    # ---- loop -----------------------------------------------------------
+    logger = MetricLogger(os.path.join(args.output, "tb"))
+    batch = next(loader)
+    step_fn = trainer.jitted_step(state, batch)
+    t_last = time.time()
+    for it in range(start_step, cfg.num_train_steps):
+        state, metrics = step_fn(state, batch, jax.random.fold_in(rng, it))
+        batch = next(loader)
+        if (it + 1) % cfg.logging_steps == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            dt = time.time() - t_last
+            t_last = time.time()
+            ips = cfg.logging_steps * global_batch / dt
+            logger.log(it + 1, {**m, "images_per_sec": ips})
+            print(f"[train] step {it+1} loss={m['loss']:.4f} "
+                  f"{ips:.1f} img/s")
+        if (it + 1) % cfg.save_steps == 0:
+            ckpt.save(it + 1, jax.device_get(state))
+            print(f"[train] saved step {it+1}")
+    ckpt.save(cfg.num_train_steps, jax.device_get(state))
+    loader.close()
+    print("[train] done")
+
+
+if __name__ == "__main__":
+    main()

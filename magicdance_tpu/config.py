@@ -185,17 +185,26 @@ class SampleConfig:
 
 
 class FreezeRegime(str, enum.Enum):
-    """Parameter-freeze regimes (ref: train_tiktok.py:762-969)."""
+    """Parameter-freeze regimes (ref: train_tiktok.py:762-969).
+
+    Mapping to reference CLI flags:
+      ALL_TRAINABLE        = --finetune_all
+      APPEARANCE_PRETRAIN  = --finetune_attn (stage 1: control branches +
+                             UNet self-attention "attn1" params)
+      FINETUNE_CONTROL     = --finetune_control (stage 2: both control
+                             branches, UNet frozen / sd_locked)
+      POSE_ONLY            = --finetune_pose_only
+      REFERENCE_ONLY       = --finetune_reference_only
+      MOTION_ONLY          = --finetune_mm (AnimateDiff stage: motion
+                             modules only)
+    """
 
     ALL_TRAINABLE = "all"
-    # stage 1: train appearance branch + UNet attention layers
     APPEARANCE_PRETRAIN = "appearance_pretrain"
-    # stage 2: UNet frozen, both control branches trainable
     FINETUNE_CONTROL = "finetune_control"
-    # stage 3: only motion modules trainable
+    POSE_ONLY = "pose_only"
+    REFERENCE_ONLY = "reference_only"
     MOTION_ONLY = "motion_only"
-    # ControlNet-classic: control branch + unet decoder
-    FINETUNE_ATTN = "finetune_attn"
 
 
 @dataclass(frozen=True)
@@ -218,6 +227,9 @@ class TrainConfig:
     model: ModelConfig = field(default_factory=ModelConfig)
     optim: OptimConfig = field(default_factory=OptimConfig)
     freeze: FreezeRegime = FreezeRegime.FINETUNE_CONTROL
+    # reference --sd_locked (default True); False additionally trains the
+    # UNet decoder + output head (train_tiktok.py sd_locked branches)
+    sd_locked: bool = True
     batch_size_per_device: int = 8
     num_train_steps: int = 100000
     seed: int = 42

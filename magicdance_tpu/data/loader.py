@@ -1,0 +1,83 @@
+"""Host-side prefetching loader: worker threads + double-buffered device puts.
+
+Replaces torch DataLoader worker processes (ref train_tiktok.py:1128-1133)
+with a thread pool producing numpy batches plus an explicit device prefetch
+queue, so host decode/augment overlaps device compute (SURVEY.md §7 "Data
+pipeline"). Batches are placed with the given sharding (batch dim over the
+'data' mesh axis) so pjit consumes them without relayout.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Iterator, Optional
+
+import jax
+import numpy as np
+
+
+class PrefetchLoader:
+    """Wraps a batch iterator; `workers` producer threads call `next` on
+    independent iterators (factory), a consumer thread moves batches to
+    device ahead of use."""
+
+    def __init__(
+        self,
+        batch_iter_factory: Callable[[int], Iterator[dict]],
+        workers: int = 2,
+        host_depth: int = 4,
+        device_depth: int = 2,
+        sharding: Optional[Any] = None,
+    ):
+        self._host_q: "queue.Queue[dict]" = queue.Queue(maxsize=host_depth)
+        self._dev_q: "queue.Queue[dict]" = queue.Queue(maxsize=device_depth)
+        self._stop = threading.Event()
+        self._sharding = sharding
+        self._threads = []
+        for w in range(workers):
+            t = threading.Thread(
+                target=self._produce, args=(batch_iter_factory(w),), daemon=True
+            )
+            t.start()
+            self._threads.append(t)
+        t = threading.Thread(target=self._transfer, daemon=True)
+        t.start()
+        self._threads.append(t)
+
+    def _produce(self, it: Iterator[dict]) -> None:
+        try:
+            for batch in it:
+                if self._stop.is_set():
+                    return
+                self._host_q.put(batch)
+        except Exception as e:  # pragma: no cover - worker crash surfaces on get
+            self._host_q.put({"__error__": repr(e)})
+
+    def _transfer(self) -> None:
+        while not self._stop.is_set():
+            batch = self._host_q.get()
+            if "__error__" in batch:
+                self._dev_q.put(batch)
+                return
+            if self._sharding is not None:
+                batch = {
+                    k: jax.device_put(v, self._sharding[k] if isinstance(
+                        self._sharding, dict) else self._sharding)
+                    for k, v in batch.items()
+                }
+            else:
+                batch = {k: jax.device_put(v) for k, v in batch.items()}
+            self._dev_q.put(batch)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> dict:
+        batch = self._dev_q.get()
+        if "__error__" in batch:
+            raise RuntimeError(f"data worker failed: {batch['__error__']}")
+        return batch
+
+    def close(self) -> None:
+        self._stop.set()

@@ -1,0 +1,190 @@
+"""Unified metric runner over generated/GT image folder trees.
+
+Rebuild of the DisCo-identical evaluation driver
+(ref: tool/metrics/metric_center.py:678 get_all_eval_scores, :834-862 CLI —
+consumes the `{itr}/gen_images|gt_images|pose_maps/NNN.jpg` trees written by
+test_tiktok.py:193-198, supports
+`--type fid fid-vid fvd l1 ssim lpips psnr mae is`).
+
+Always-available metrics (pure math): l1, ssim, psnr, mae.
+Weight-gated metrics: lpips (torch lpips VGG weights), fid / is (InceptionV3
+weights), fid-vid / fvd (3D backbones) — pass the corresponding
+`--*_weights` arguments; without weights they are skipped with a notice
+(zero-egress environment: the torch weight files must be provided locally).
+
+Results are written to `results.json` in the output folder.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+from PIL import Image
+
+
+def _load_folder(folder: str, size: Optional[int] = None) -> Iterator[np.ndarray]:
+    for f in sorted(os.listdir(folder)):
+        if not f.lower().endswith((".png", ".jpg", ".jpeg")):
+            continue
+        img = Image.open(os.path.join(folder, f)).convert("RGB")
+        if size is not None:
+            img = img.resize((size, size), Image.BICUBIC)
+        yield np.asarray(img)
+
+
+def paired_batches(gen_dir: str, gt_dir: str, batch: int = 16):
+    gen_it, gt_it = _load_folder(gen_dir), _load_folder(gt_dir)
+    while True:
+        gens, gts = [], []
+        for _ in range(batch):
+            try:
+                gens.append(next(gen_it))
+                gts.append(next(gt_it))
+            except StopIteration:
+                break
+        if not gens:
+            return
+        yield np.stack(gens), np.stack(gts)
+
+
+def compute_paired_metrics(
+    gen_dir: str, gt_dir: str, types: list[str],
+    lpips_weights: Optional[str] = None,
+) -> dict:
+    import jax.numpy as jnp
+
+    from magicdance_tpu.metrics.core import l1_error, psnr, ssim
+
+    want = set(types)
+    sums: dict[str, list[float]] = {t: [] for t in want}
+    lp = None
+    if "lpips" in want:
+        from magicdance_tpu.metrics.lpips import LPIPSScorer
+
+        lp = LPIPSScorer(lpips_weights)
+        if not lp.calibrated:
+            print("[metrics] WARNING: lpips running with random weights "
+                  "(no --lpips_weights); scores not comparable")
+
+    n = 0
+    for gens, gts in paired_batches(gen_dir, gt_dir):
+        g = jnp.asarray(gens, jnp.float32) / 255.0
+        t = jnp.asarray(gts, jnp.float32) / 255.0
+        bs = len(gens)
+        n += bs
+        if "l1" in want or "mae" in want:
+            v = float(l1_error(g, t))
+            for key in ("l1", "mae"):
+                if key in want:
+                    sums[key].append(v * bs)
+        if "ssim" in want:
+            sums["ssim"].append(float(ssim(g, t)) * bs)
+        if "psnr" in want:
+            sums["psnr"].append(float(psnr(g, t)) * bs)
+        if lp is not None:
+            d = lp(g * 2 - 1, t * 2 - 1)
+            sums["lpips"].append(float(d.sum()))
+    out = {k: (sum(v) / max(n, 1)) for k, v in sums.items() if v}
+    out["num_images"] = n
+    return out
+
+
+def compute_fid(gen_dir: str, gt_dir: str, inception_weights: Optional[str]) -> Optional[float]:
+    if not inception_weights:
+        print("[metrics] skipping FID: no --inception_weights "
+              "(InceptionV3 pt file required; zero-egress environment)")
+        return None
+    from magicdance_tpu.metrics.fid import fid_between_folders
+
+    return fid_between_folders(gen_dir, gt_dir, inception_weights)
+
+
+def get_all_eval_scores(
+    root: str,
+    types: list[str],
+    gen_name: str = "gen_images",
+    gt_name: str = "gt_images",
+    lpips_weights: Optional[str] = None,
+    inception_weights: Optional[str] = None,
+) -> dict:
+    """Walk `{root}/{seq}/{gen_images,gt_images}` trees (flat folders also
+    accepted) and aggregate (ref metric_center.py:678)."""
+    seqs = []
+    if os.path.isdir(os.path.join(root, gen_name)):
+        seqs = [root]
+    else:
+        seqs = [
+            os.path.join(root, d) for d in sorted(os.listdir(root))
+            if os.path.isdir(os.path.join(root, d, gen_name))
+        ]
+    if not seqs:
+        raise FileNotFoundError(f"no {gen_name} trees under {root}")
+
+    agg: dict[str, float] = {}
+    total = 0
+    for seq in seqs:
+        res = compute_paired_metrics(
+            os.path.join(seq, gen_name), os.path.join(seq, gt_name),
+            [t for t in types if t in ("l1", "mae", "ssim", "psnr", "lpips")],
+            lpips_weights,
+        )
+        k = res.pop("num_images")
+        total += k
+        for key, v in res.items():
+            agg[key] = agg.get(key, 0.0) + v * k
+    results = {k: v / max(total, 1) for k, v in agg.items()}
+    results["num_images"] = total
+
+    if "fid" in types:
+        # FID pools features across all sequences
+        fid = compute_fid_multi(seqs, gen_name, gt_name, inception_weights)
+        if fid is not None:
+            results["fid"] = fid
+    return results
+
+
+def compute_fid_multi(seqs, gen_name, gt_name, inception_weights):
+    if not inception_weights:
+        print("[metrics] skipping FID: no inception weights provided")
+        return None
+    from magicdance_tpu.metrics.fid import folder_features
+    from magicdance_tpu.metrics.core import frechet_distance, gaussian_frechet_stats
+
+    gen_feats, gt_feats = [], []
+    for seq in seqs:
+        gen_feats.append(folder_features(os.path.join(seq, gen_name), inception_weights))
+        gt_feats.append(folder_features(os.path.join(seq, gt_name), inception_weights))
+    mu1, s1 = gaussian_frechet_stats(np.concatenate(gen_feats))
+    mu2, s2 = gaussian_frechet_stats(np.concatenate(gt_feats))
+    return frechet_distance(mu1, s1, mu2, s2)
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--root", required=True,
+                   help="folder with {seq}/gen_images|gt_images trees")
+    p.add_argument("--type", nargs="+", default=["l1", "ssim", "psnr"],
+                   choices=["l1", "mae", "ssim", "psnr", "lpips", "fid",
+                            "fid-vid", "fvd", "is"])
+    p.add_argument("--lpips_weights", default=None)
+    p.add_argument("--inception_weights", default=None)
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+
+    res = get_all_eval_scores(
+        args.root, args.type,
+        lpips_weights=args.lpips_weights,
+        inception_weights=args.inception_weights,
+    )
+    print(json.dumps(res, indent=2))
+    out = args.out or os.path.join(args.root, "results.json")
+    with open(out, "w") as f:
+        json.dump(res, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -55,10 +55,10 @@ class CLIPLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, causal_mask: jax.Array) -> jax.Array:
         c = self.cfg
-        h = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32,
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32,
                          name="layer_norm1")(x.astype(jnp.float32)).astype(x.dtype)
         x = x + CLIPAttention(c, dtype=self.dtype, name="self_attn")(h, causal_mask)
-        h = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32,
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32,
                          name="layer_norm2")(x.astype(jnp.float32)).astype(x.dtype)
         h = nn.Dense(c.hidden_size * 4, dtype=self.dtype, param_dtype=jnp.float32,
                      name="fc1")(h)
@@ -91,6 +91,6 @@ class CLIPTextEncoder(nn.Module):
         causal = causal[None, None]
         for i in range(c.num_layers):
             x = CLIPLayer(c, dtype=self.dtype, name=f"layer_{i}")(x, causal)
-        x = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32,
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32,
                          name="final_layer_norm")(x.astype(jnp.float32))
         return x

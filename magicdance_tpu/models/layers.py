@@ -52,6 +52,7 @@ class GroupNorm32(nn.Module):
             epsilon=self.epsilon,
             dtype=jnp.float32,
             param_dtype=jnp.float32,
+            name="norm",
         )(x.astype(jnp.float32))
         return h.astype(orig_dtype)
 
@@ -250,7 +251,7 @@ class BasicTransformerBlock(nn.Module):
         collect: bool = False,
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
         written = None
-        h = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="norm1")(
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="norm1")(
             x.astype(jnp.float32)
         ).astype(x.dtype)
         if collect:
@@ -259,14 +260,14 @@ class BasicTransformerBlock(nn.Module):
             num_heads=self.num_heads, head_dim=self.head_dim, dtype=self.dtype, name="attn1"
         )(h, context=None, kv_extra=bank_entry)
 
-        h = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="norm2")(
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="norm2")(
             x.astype(jnp.float32)
         ).astype(x.dtype)
         x = x + CrossAttention(
             num_heads=self.num_heads, head_dim=self.head_dim, dtype=self.dtype, name="attn2"
         )(h, context=context)
 
-        h = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32, name="norm3")(
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="norm3")(
             x.astype(jnp.float32)
         ).astype(x.dtype)
         x = x + GEGLUFeedForward(dim=x.shape[-1], dtype=self.dtype, name="ff")(h)
@@ -353,7 +354,7 @@ class TemporalTransformer(nn.Module):
         head_dim = c // self.num_heads
         for i in range(self.num_layers):
             # temporal self-attention with sinusoidal frame PE
-            h = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32,
+            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32,
                              name=f"norm_attn_{i}")(z.astype(jnp.float32)).astype(z.dtype)
             h = h.reshape(b, f, hh * ww, c).transpose(0, 2, 1, 3).reshape(b * hh * ww, f, c)
             h = SinusoidalPositionalEncoding(max_len=self.max_len, name=f"pe_{i}")(h)
@@ -363,7 +364,7 @@ class TemporalTransformer(nn.Module):
             )(h)
             attn = attn.reshape(b, hh * ww, f, c).transpose(0, 2, 1, 3).reshape(b * f, hh * ww, c)
             z = z + attn
-            h = nn.LayerNorm(dtype=jnp.float32, param_dtype=jnp.float32,
+            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32,
                              name=f"norm_ff_{i}")(z.astype(jnp.float32)).astype(z.dtype)
             z = z + GEGLUFeedForward(dim=c, dtype=self.dtype, name=f"ff_{i}")(h)
         z = dense(c, dtype=self.dtype, name="proj_out", zero_init=True)(z)

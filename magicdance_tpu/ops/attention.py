@@ -12,11 +12,32 @@ Layout convention: (batch, seq, heads, head_dim) — "BSNH" — throughout.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# Global attention-impl override. "auto" picks Pallas flash kernels on TPU
+# for the big self-attention shapes; training code forces "xla" (the Pallas
+# kernels are forward-only — the XLA path is differentiable and XLA remats
+# it under jax.checkpoint).
+_IMPL_OVERRIDE: contextvars.ContextVar[str] = contextvars.ContextVar(
+    "attention_impl", default="auto"
+)
+
+
+@contextlib.contextmanager
+def attention_impl(impl: str):
+    """Force an attention implementation ("xla" | "flash" | "auto") for code
+    traced within this context."""
+    token = _IMPL_OVERRIDE.set(impl)
+    try:
+        yield
+    finally:
+        _IMPL_OVERRIDE.reset(token)
 
 
 def _xla_attention(
@@ -63,6 +84,9 @@ def dot_product_attention(
 
 
 def _pick_impl(q: jax.Array, k: jax.Array) -> str:
+    override = _IMPL_OVERRIDE.get()
+    if override != "auto":
+        return override
     on_tpu = jax.default_backend() == "tpu"
     sq, sk = q.shape[1], k.shape[1]
     # flash pays off once the logits matrix stops fitting comfortably in VMEM;

@@ -1,0 +1,169 @@
+"""Pallas TPU attention kernels for the MagicPose hot shapes.
+
+Two kernels (SURVEY.md §7 "Pallas kernels"):
+
+  * `flash_attention` — self-attention at latent resolutions
+    (S ∈ {4096, 1024, 256, 64}, head dim ∈ {40, 80, 160}). The whole K/V for
+    one (batch, head) fits VMEM at these sizes, so the kernel streams query
+    blocks against the full K/V row: one fused
+    QK^T → masked-free softmax (fp32) → PV pass with NO HBM logits
+    materialization. The XLA fallback materializes (B, H, S, S) fp32 logits
+    — 512 MB per image per layer at S=4096 — which is exactly what this
+    kernel removes.
+
+  * `flash_attention_two_source` — the bank-read shape: keys/values are the
+    union of the layer's own sequence and the appearance bank
+    (ref attention.py:301-313). Computed as two logit blocks sharing one
+    joint softmax (joint max/denominator), so the K/V concat never exists
+    anywhere. The bank may be batch-1 (one reference serving all frames /
+    CFG replicas); the kernel broadcasts it via the BlockSpec index map
+    instead of tiling it in HBM.
+
+Layout: wrappers take (B, S, H, D) "BSNH" and reshape to (B*H, S, D) so the
+kernel grid is (batch*heads, q_blocks). fp32 accumulation throughout
+(guide: "Missing preferred_element_type" pitfall).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_bq(s_total: int, d: int, vmem_budget: int = 10 * 1024 * 1024) -> int:
+    """Largest query block keeping logits + kv + probs under budget."""
+    for bq in (512, 256, 128, 64, 32, 16, 8):
+        logits = bq * s_total * 4
+        probs = bq * s_total * 4
+        kv = 2 * s_total * max(d, 128) * 2
+        if logits + probs + kv < vmem_budget:
+            return bq
+    return 8
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0]  # (BQ, D)
+    k = k_ref[0]  # (S, D)
+    v = v_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (o / denom).astype(o_ref.dtype)
+
+
+def _attn2_kernel(q_ref, k_ref, v_ref, kb_ref, vb_ref, o_ref, *, scale: float):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    kb = kb_ref[0]
+    vb = vb_ref[0]
+    l_self = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    l_bank = jax.lax.dot_general(
+        q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    m = jnp.maximum(
+        jnp.max(l_self, axis=-1, keepdims=True),
+        jnp.max(l_bank, axis=-1, keepdims=True),
+    )
+    p_self = jnp.exp(l_self - m)
+    p_bank = jnp.exp(l_bank - m)
+    denom = (
+        jnp.sum(p_self, axis=-1, keepdims=True)
+        + jnp.sum(p_bank, axis=-1, keepdims=True)
+    )
+    o = jax.lax.dot_general(
+        p_self.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o = o + jax.lax.dot_general(
+        p_bank.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (o / denom).astype(o_ref.dtype)
+
+
+def _to_bhsd(x):
+    b, s, h, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+
+
+def _from_bhsd(x, b, h):
+    bh, s, d = x.shape
+    return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def flash_attention(q, k, v, *, scale: float):
+    """q/k/v: (B, S, H, D) bf16/f32 → (B, Sq, H, D)."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    qr, kr, vr = _to_bhsd(q), _to_bhsd(k), _to_bhsd(v)
+    bq = min(_pick_bq(sk, d), sq)
+    grid = (b * h, pl.cdiv(sq, bq))
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct(qr.shape, q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, d), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, d), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda bh, qi: (bh, qi, 0),
+                               memory_space=pltpu.VMEM),
+    )(qr, kr, vr)
+    return _from_bhsd(out, b, h)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def flash_attention_two_source(q, k_self, v_self, k_bank, v_bank, *, scale: float):
+    """Bank-read attention; k_bank/v_bank batch ∈ {1, B} (broadcast via
+    index map, never materialized per-frame)."""
+    b, sq, h, d = q.shape
+    sk = k_self.shape[1]
+    sb = k_bank.shape[1]
+    bb = k_bank.shape[0]
+    qr, kr, vr = _to_bhsd(q), _to_bhsd(k_self), _to_bhsd(v_self)
+    kbr, vbr = _to_bhsd(k_bank), _to_bhsd(v_bank)
+    bq = min(_pick_bq(sk + sb, d), sq)
+    grid = (b * h, pl.cdiv(sq, bq))
+
+    if bb == 1:
+        bank_map = lambda bh, qi: (bh % h, 0, 0)
+    else:
+        bank_map = lambda bh, qi: (bh, 0, 0)
+
+    out = pl.pallas_call(
+        functools.partial(_attn2_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct(qr.shape, q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, d), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, d), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sb, d), bank_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sb, d), bank_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda bh, qi: (bh, qi, 0),
+                               memory_space=pltpu.VMEM),
+    )(qr, kr, vr, kbr, vbr)
+    return _from_bhsd(out, b, h)

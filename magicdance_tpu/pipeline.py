@@ -1,0 +1,219 @@
+"""High-level inference pipeline: reference image + pose maps → frames.
+
+The product equivalent of the reference's test_any_image_pose.py /
+test_tiktok.py flow (ref: test_any_image_pose.py:139-262): VAE-encode the
+reference once, CLIP-encode the (usually empty) prompt once, then denoise a
+whole batch of pose frames with the DDIM scan. Frames are batched — the
+reference loops Python-per-frame (test_any_image_pose.py:210) — and the
+appearance bank is computed once per step for the entire frame batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magicdance_tpu.config import ModelConfig, SampleConfig
+from magicdance_tpu.data.tokenizer import CLIPTokenizer, empty_prompt_ids
+from magicdance_tpu.models import (
+    AutoencoderKL,
+    CLIPTextEncoder,
+    MagicPoseModel,
+)
+from magicdance_tpu.models.vae import encode_to_latent, latent_to_decoder_input
+from magicdance_tpu.ops.schedules import make_ddim_schedule, make_schedule
+from magicdance_tpu.sampling.ddim import ddim_sample
+
+
+class MagicPosePipeline:
+    """Bundles the four networks + schedules behind a sampling API."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params: Optional[dict] = None,
+        tokenizer: Optional[CLIPTokenizer] = None,
+    ):
+        self.cfg = cfg
+        self.model = MagicPoseModel(cfg)
+        self.vae = AutoencoderKL(cfg.vae)
+        self.clip = CLIPTextEncoder(cfg.clip)
+        self.sched = make_schedule(cfg.diffusion)
+        self.tokenizer = tokenizer or CLIPTokenizer()
+        self.params = params  # {"model": .., "vae": .., "clip": ..}
+        self._jit_sample = {}
+
+    # -- initialization ----------------------------------------------------
+    def init_params(self, rng: jax.Array, image_size: int = 512) -> dict:
+        """Random init (tests/bench); real runs load converted checkpoints."""
+        latent = image_size // 8
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
+        x = jnp.zeros((1, latent, latent, 4))
+        t = jnp.zeros((1,), jnp.int32)
+        ctx = jnp.zeros((1, self.cfg.clip.max_length, self.cfg.unet.context_dim))
+        kw = {}
+        if self.cfg.has_appearance:
+            kw["reference_noisy"] = x
+        if self.cfg.has_pose:
+            kw["pose_hint"] = jnp.zeros((1, image_size, image_size, 3))
+        params = {
+            "model": self.model.init(r1, x, t, ctx, **kw),
+            "vae": self.vae.init(
+                r2, jnp.zeros((1, image_size, image_size, 3)), r4
+            ),
+            "clip": self.clip.init(r3, jnp.zeros((1, self.cfg.clip.max_length),
+                                                 jnp.int32)),
+        }
+        self.params = params
+        return params
+
+    def fast_init_params(self, rng: jax.Array, image_size: int = 512,
+                         scale: float = 0.02, zeros: bool = False) -> dict:
+        """Shape-only init (jax.eval_shape) + random (or zero) leaves, no
+        forward execution — for benchmarks/smoke tests at full scale where
+        running `init`'s forward pass is wasteful. `zeros=True` creates all
+        leaves directly on device (instant; values don't affect throughput
+        measurements). Real runs load converted checkpoints."""
+        latent = image_size // 8
+        x = jax.ShapeDtypeStruct((1, latent, latent, 4), jnp.float32)
+        t = jax.ShapeDtypeStruct((1,), jnp.int32)
+        ctx = jax.ShapeDtypeStruct(
+            (1, self.cfg.clip.max_length, self.cfg.unet.context_dim), jnp.float32
+        )
+        kw = {}
+        if self.cfg.has_appearance:
+            kw["reference_noisy"] = x
+        if self.cfg.has_pose:
+            kw["pose_hint"] = jax.ShapeDtypeStruct(
+                (1, image_size, image_size, 3), jnp.float32
+            )
+        img = jax.ShapeDtypeStruct((1, image_size, image_size, 3), jnp.float32)
+        ids = jax.ShapeDtypeStruct((1, self.cfg.clip.max_length), jnp.int32)
+        k = jax.random.PRNGKey(0)
+        shapes = {
+            "model": jax.eval_shape(
+                lambda x_, t_, c_, **kw_: self.model.init(k, x_, t_, c_, **kw_),
+                x, t, ctx, **kw,
+            ),
+            "vae": jax.eval_shape(lambda i_: self.vae.init(k, i_, k), img),
+            "clip": jax.eval_shape(lambda i_: self.clip.init(k, i_), ids),
+        }
+        import numpy as np
+
+        if zeros:
+            self.params = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes
+            )
+            return self.params
+
+        rs = np.random.RandomState(int(jax.random.randint(rng, (), 0, 2**31 - 1)))
+
+        def leaf(s):
+            if s.dtype == jnp.float32:
+                return jnp.asarray(
+                    rs.standard_normal(s.shape).astype(np.float32) * scale
+                )
+            return jnp.zeros(s.shape, s.dtype)
+
+        self.params = jax.tree.map(leaf, shapes)
+        return self.params
+
+    def cast_model_params(self, dtype=jnp.bfloat16) -> None:
+        """Cast denoiser params for serving (VAE/CLIP stay f32)."""
+        self.params["model"] = jax.tree.map(
+            lambda p: p.astype(dtype) if p.dtype == jnp.float32 else p,
+            self.params["model"],
+        )
+
+    # -- encoders ----------------------------------------------------------
+    def encode_text(self, prompts: list[str]) -> jax.Array:
+        ids = jnp.asarray(self.tokenizer(prompts, self.cfg.clip.max_length))
+        return self.clip.apply(self.params["clip"], ids)
+
+    def encode_empty(self, batch: int = 1) -> jax.Array:
+        ids = jnp.asarray(empty_prompt_ids(batch, self.cfg.clip.max_length))
+        return self.clip.apply(self.params["clip"], ids)
+
+    def encode_reference(self, image: jax.Array, rng=None) -> jax.Array:
+        """image: (1, H, W, 3) in [-1, 1] → scaled latent (1, H/8, W/8, 4).
+        Uses the posterior mode (deterministic, eval semantics)."""
+        post = self.vae.apply(self.params["vae"], image, method=self.vae.encode)
+        z = post.mode() if rng is None else post.sample(rng)
+        return encode_to_latent(z, self.cfg.vae.scale_factor)
+
+    def decode_latents(self, latents: jax.Array) -> jax.Array:
+        return self.vae.apply(
+            self.params["vae"],
+            latent_to_decoder_input(latents, self.cfg.vae.scale_factor),
+            method=self.vae.decode,
+        )
+
+    # -- sampling ----------------------------------------------------------
+    def sample_frames(
+        self,
+        rng: jax.Array,
+        pose_maps: Optional[jax.Array],
+        reference_image: Optional[jax.Array],
+        scfg: SampleConfig = SampleConfig(),
+        prompts: Optional[list[str]] = None,
+        decode: bool = True,
+    ) -> jax.Array:
+        """pose_maps: (F, H, W, 3) in [0,1] or None; reference_image:
+        (1, H, W, 3) in [-1,1] or None. Returns (F, H, W, 3) images in
+        [-1, 1] (or latents if decode=False).
+
+        Shared x_T across frames per the reference recipe
+        (test_any_image_pose.py:201-202) when scfg.shared_noise.
+        """
+        cfg = self.cfg
+        if pose_maps is not None:
+            F, H = pose_maps.shape[0], pose_maps.shape[1]
+        else:
+            F, H = 1, cfg.latent_size * 8
+        latent = H // 8
+
+        ctx = (
+            self.encode_text(prompts) if prompts else self.encode_empty(1)
+        ).astype(jnp.float32)
+        uncond_ctx = self.encode_empty(1).astype(jnp.float32)
+
+        ref_latent = None
+        if reference_image is not None and cfg.has_appearance:
+            ref_latent = self.encode_reference(reference_image)
+
+        rng_noise, rng_samp = jax.random.split(rng)
+        if scfg.shared_noise:
+            x_T = jnp.broadcast_to(
+                jax.random.normal(rng_noise, (1, latent, latent, 4)),
+                (F, latent, latent, 4),
+            )
+        else:
+            x_T = jax.random.normal(rng_noise, (F, latent, latent, 4))
+
+        ddim = make_ddim_schedule(self.sched, scfg.steps, eta=scfg.eta)
+        key = (scfg.steps, scfg.cfg_scale, scfg.eta, scfg.wonoise, F, latent,
+               pose_maps is not None, ref_latent is not None, decode)
+        if key not in self._jit_sample:
+            def run(params, x_T, ctx, uctx, ref_latent, pose_maps, rng):
+                lat = ddim_sample(
+                    self.model, params["model"], self.sched, ddim, scfg, rng,
+                    x_T, ctx, uctx,
+                    reference_latent=ref_latent, pose_hint=pose_maps,
+                    parameterization=cfg.diffusion.parameterization,
+                )
+                if decode:
+                    return self.vae.apply(
+                        params["vae"],
+                        latent_to_decoder_input(lat, cfg.vae.scale_factor),
+                        method=self.vae.decode,
+                    )
+                return lat
+
+            self._jit_sample[key] = jax.jit(run)
+        return self._jit_sample[key](
+            self.params, x_T, ctx, uncond_ctx, ref_latent, pose_maps, rng_samp
+        )

@@ -1,0 +1,65 @@
+"""Pallas flash-attention kernels vs the XLA reference path, run in
+interpreter mode on CPU (the real kernels are exercised on TPU by bench.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from magicdance_tpu.ops.attention import _xla_attention, bank_read_attention
+from magicdance_tpu.ops.pallas.flash import (
+    flash_attention,
+    flash_attention_two_source,
+)
+
+
+def _rand(shape, seed):
+    return jnp.asarray(
+        np.random.RandomState(seed).randn(*shape).astype(np.float32))
+
+
+@pytest.mark.parametrize("s,d", [(128, 32), (64, 40)])
+def test_flash_matches_xla(s, d):
+    b, h = 2, 2
+    q = _rand((b, s, h, d), 0)
+    k = _rand((b, s, h, d), 1)
+    v = _rand((b, s, h, d), 2)
+    scale = d**-0.5
+    ref = _xla_attention(q, k, v, scale)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, scale=scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_two_source_matches_xla():
+    b, h, s, sb, d = 2, 2, 64, 32, 32
+    q = _rand((b, s, h, d), 0)
+    k = _rand((b, s, h, d), 1)
+    v = _rand((b, s, h, d), 2)
+    kb = _rand((b, sb, h, d), 3)
+    vb = _rand((b, sb, h, d), 4)
+    scale = d**-0.5
+    ref = bank_read_attention(q, k, v, kb, vb, scale=scale, impl="xla")
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_two_source(q, k, v, kb, vb, scale=scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_two_source_bank_broadcast():
+    """Bank batch 1 must broadcast across the frame batch inside the kernel."""
+    b, h, s, sb, d = 3, 2, 64, 64, 32
+    q = _rand((b, s, h, d), 0)
+    k = _rand((b, s, h, d), 1)
+    v = _rand((b, s, h, d), 2)
+    kb = _rand((1, sb, h, d), 3)
+    vb = _rand((1, sb, h, d), 4)
+    scale = d**-0.5
+    ref = bank_read_attention(q, k, v, kb, vb, scale=scale, impl="xla")
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_two_source(q, k, v, kb, vb, scale=scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

@@ -1,0 +1,359 @@
+"""Minimal PyTorch implementation of the LDM/SD UNet + ControlNet block
+structure, used ONLY as a test oracle for the checkpoint converter.
+
+This is written from the SD1.5 architecture spec (GroupNorm32→SiLU→conv
+res blocks with timestep-embedding injection, pre-LN transformer blocks with
+GEGLU feed-forward, conv 1x1 spatial-transformer projections, stride-8 hint
+CNN + zero convs) so that `state_dict()` keys/layouts match the reference
+checkpoint format (see convert/torch_convert.py docstring). It is NOT copied
+from /root/reference — it exists to prove that loading a torch checkpoint
+into the Flax modules reproduces the torch forward numerically.
+"""
+
+from __future__ import annotations
+
+import math
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+def timestep_embedding(t, dim, max_period=10000):
+    half = dim // 2
+    freqs = torch.exp(-math.log(max_period) * torch.arange(half).float() / half)
+    args = t.float()[:, None] * freqs[None]
+    return torch.cat([torch.cos(args), torch.sin(args)], dim=-1)
+
+
+class ResBlock(nn.Module):
+    def __init__(self, in_ch, out_ch, emb_ch):
+        super().__init__()
+        self.in_layers = nn.Sequential(
+            nn.GroupNorm(32 if in_ch % 32 == 0 else math.gcd(in_ch, 32), in_ch),
+            nn.SiLU(),
+            nn.Conv2d(in_ch, out_ch, 3, padding=1),
+        )
+        self.emb_layers = nn.Sequential(nn.SiLU(), nn.Linear(emb_ch, out_ch))
+        self.out_layers = nn.Sequential(
+            nn.GroupNorm(32 if out_ch % 32 == 0 else math.gcd(out_ch, 32), out_ch),
+            nn.SiLU(),
+            nn.Dropout(0.0),
+            nn.Conv2d(out_ch, out_ch, 3, padding=1),
+        )
+        self.skip_connection = (
+            nn.Conv2d(in_ch, out_ch, 1) if in_ch != out_ch else nn.Identity()
+        )
+
+    def forward(self, x, emb):
+        h = self.in_layers(x)
+        h = h + self.emb_layers(emb)[:, :, None, None]
+        h = self.out_layers(h)
+        return self.skip_connection(x) + h
+
+
+class CrossAttention(nn.Module):
+    def __init__(self, query_dim, context_dim, heads, dim_head):
+        super().__init__()
+        inner = heads * dim_head
+        self.heads, self.dim_head = heads, dim_head
+        self.scale = dim_head**-0.5
+        self.to_q = nn.Linear(query_dim, inner, bias=False)
+        self.to_k = nn.Linear(context_dim, inner, bias=False)
+        self.to_v = nn.Linear(context_dim, inner, bias=False)
+        self.to_out = nn.Sequential(nn.Linear(inner, query_dim), nn.Dropout(0.0))
+
+    def forward(self, x, context=None):
+        context = x if context is None else context
+        q, k, v = self.to_q(x), self.to_k(context), self.to_v(context)
+        b, n, _ = q.shape
+        m = k.shape[1]
+
+        def split(t, L):
+            return t.view(b, L, self.heads, self.dim_head).transpose(1, 2)
+
+        q, k, v = split(q, n), split(k, m), split(v, m)
+        attn = (q @ k.transpose(-1, -2)) * self.scale
+        attn = attn.softmax(dim=-1)
+        out = (attn @ v).transpose(1, 2).reshape(b, n, -1)
+        return self.to_out(out)
+
+
+class GEGLU(nn.Module):
+    def __init__(self, dim, inner):
+        super().__init__()
+        self.proj = nn.Linear(dim, inner * 2)
+
+    def forward(self, x):
+        h, gate = self.proj(x).chunk(2, dim=-1)
+        return h * F.gelu(gate)
+
+
+class FeedForward(nn.Module):
+    def __init__(self, dim, mult=4):
+        super().__init__()
+        self.net = nn.Sequential(GEGLU(dim, dim * mult), nn.Dropout(0.0),
+                                 nn.Linear(dim * mult, dim))
+
+    def forward(self, x):
+        return self.net(x)
+
+
+class BasicTransformerBlock(nn.Module):
+    def __init__(self, dim, context_dim, heads, dim_head):
+        super().__init__()
+        self.attn1 = CrossAttention(dim, dim, heads, dim_head)
+        self.attn2 = CrossAttention(dim, context_dim, heads, dim_head)
+        self.ff = FeedForward(dim)
+        self.norm1 = nn.LayerNorm(dim)
+        self.norm2 = nn.LayerNorm(dim)
+        self.norm3 = nn.LayerNorm(dim)
+
+    def forward(self, x, context, bank=None, collect=None):
+        h = self.norm1(x)
+        if collect is not None:
+            collect.append(h)
+        if bank is not None:
+            ctx1 = torch.cat([h] + [bank], dim=1)
+            x = self.attn1(h, ctx1) + x
+        else:
+            x = self.attn1(h) + x
+        x = self.attn2(self.norm2(x), context) + x
+        x = self.ff(self.norm3(x)) + x
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    def __init__(self, ch, context_dim, heads, dim_head, depth=1):
+        super().__init__()
+        self.norm = nn.GroupNorm(32 if ch % 32 == 0 else math.gcd(ch, 32), ch,
+                                 eps=1e-6)
+        inner = heads * dim_head
+        self.proj_in = nn.Conv2d(ch, inner, 1)
+        self.transformer_blocks = nn.ModuleList(
+            [BasicTransformerBlock(inner, context_dim, heads, dim_head)
+             for _ in range(depth)]
+        )
+        self.proj_out = nn.Conv2d(inner, ch, 1)
+
+    def forward(self, x, context, bank_entries=None, collect=None):
+        b, c, h, w = x.shape
+        res = x
+        z = self.proj_in(self.norm(x))
+        z = z.permute(0, 2, 3, 1).reshape(b, h * w, -1)
+        for i, blk in enumerate(self.transformer_blocks):
+            entry = bank_entries[i] if bank_entries is not None else None
+            z = blk(z, context, bank=entry, collect=collect)
+        z = z.reshape(b, h, w, -1).permute(0, 3, 1, 2)
+        return res + self.proj_out(z)
+
+
+class Downsample(nn.Module):
+    def __init__(self, ch):
+        super().__init__()
+        self.op = nn.Conv2d(ch, ch, 3, stride=2, padding=1)
+
+    def forward(self, x):
+        return self.op(x)
+
+
+class Upsample(nn.Module):
+    def __init__(self, ch):
+        super().__init__()
+        self.conv = nn.Conv2d(ch, ch, 3, padding=1)
+
+    def forward(self, x):
+        return self.conv(F.interpolate(x, scale_factor=2, mode="nearest"))
+
+
+class TorchUNet(nn.Module):
+    """Key-compatible mini SD UNet ('model.diffusion_model.*' layout)."""
+
+    def __init__(self, model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+                 attention_resolutions=(1, 2), heads=2, context_dim=16,
+                 in_channels=4, out_channels=4):
+        super().__init__()
+        self.cfgs = (model_channels, channel_mult, num_res_blocks,
+                     attention_resolutions, heads)
+        emb = model_channels * 4
+        self.time_embed = nn.Sequential(
+            nn.Linear(model_channels, emb), nn.SiLU(), nn.Linear(emb, emb)
+        )
+        self.model_channels = model_channels
+
+        self.input_blocks = nn.ModuleList(
+            [nn.Sequential(nn.Conv2d(in_channels, model_channels, 3, padding=1))]
+        )
+        self._plan = []  # mirrors magicdance unet_plan for forward()
+        ch = model_channels
+        ds = 1
+        for level, mult in enumerate(channel_mult):
+            out_ch = model_channels * mult
+            for _ in range(num_res_blocks):
+                mods = [ResBlock(ch, out_ch, emb)]
+                attn = ds in attention_resolutions
+                if attn:
+                    mods.append(SpatialTransformer(out_ch, context_dim, heads,
+                                                   out_ch // heads))
+                self.input_blocks.append(nn.Sequential(*mods))
+                self._plan.append(("res", attn))
+                ch = out_ch
+            if level != len(channel_mult) - 1:
+                self.input_blocks.append(nn.Sequential(Downsample(ch)))
+                self._plan.append(("down", False))
+                ds *= 2
+
+        self.middle_block = nn.Sequential(
+            ResBlock(ch, ch, emb),
+            SpatialTransformer(ch, context_dim, heads, ch // heads),
+            ResBlock(ch, ch, emb),
+        )
+
+        self.output_blocks = nn.ModuleList()
+        self._out_plan = []
+        skip_ch = [model_channels]
+        c2 = model_channels
+        for level, mult in enumerate(channel_mult):
+            for _ in range(num_res_blocks):
+                c2 = model_channels * mult
+                skip_ch.append(c2)
+            if level != len(channel_mult) - 1:
+                skip_ch.append(c2)
+        for level in reversed(range(len(channel_mult))):
+            out_ch = model_channels * channel_mult[level]
+            for i in range(num_res_blocks + 1):
+                sc = skip_ch.pop()
+                mods = [ResBlock(ch + sc, out_ch, emb)]
+                attn = ds in attention_resolutions
+                if attn:
+                    mods.append(SpatialTransformer(out_ch, context_dim, heads,
+                                                   out_ch // heads))
+                up = level != 0 and i == num_res_blocks
+                if up:
+                    mods.append(Upsample(out_ch))
+                    ds //= 2
+                self.output_blocks.append(nn.Sequential(*mods))
+                self._out_plan.append((attn, up))
+                ch = out_ch
+
+        g = 32 if ch % 32 == 0 else math.gcd(ch, 32)
+        self.out = nn.Sequential(nn.GroupNorm(g, ch), nn.SiLU(),
+                                 nn.Conv2d(ch, out_channels, 3, padding=1))
+
+    def forward(self, x, t, context, bank=None, collect_bank=False,
+                pose_residuals=None):
+        collect = [] if collect_bank else None
+        bank = list(bank) if bank is not None else None
+        emb = self.time_embed(timestep_embedding(t, self.model_channels))
+        h = self.input_blocks[0](x)
+        hs = [h]
+        for i, (kind, attn) in enumerate(self._plan):
+            block = self.input_blocks[i + 1]
+            if kind == "res":
+                h = block[0](h, emb)
+                if attn:
+                    entry = [bank.pop(0)] if bank is not None else None
+                    h = block[1](h, context, bank_entries=entry, collect=collect)
+            else:
+                h = block[0](h)
+            hs.append(h)
+        h = self.middle_block[0](h, emb)
+        entry = [bank.pop(0)] if bank is not None else None
+        h = self.middle_block[1](h, context, bank_entries=entry, collect=collect)
+        h = self.middle_block[2](h, emb)
+        if pose_residuals is not None:
+            h = h + pose_residuals[-1]
+        for i, (attn, up) in enumerate(self._out_plan):
+            block = self.output_blocks[i]
+            skip = hs.pop()
+            if pose_residuals is not None:
+                skip = skip + pose_residuals[len(hs)]
+            h = torch.cat([h, skip], dim=1)
+            h = block[0](h, emb)
+            j = 1
+            if attn:
+                entry = [bank.pop(0)] if bank is not None else None
+                h = block[j](h, context, bank_entries=entry, collect=collect)
+                j += 1
+            if up:
+                h = block[j](h)
+        out = self.out(h)
+        if collect_bank:
+            return out, collect
+        return out
+
+
+class TorchControlNet(nn.Module):
+    """Key-compatible mini pose ControlNet ('control_model.*' layout)."""
+
+    def __init__(self, model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+                 attention_resolutions=(1, 2), heads=2, context_dim=16,
+                 hint_channels=3, in_channels=4):
+        super().__init__()
+        emb = model_channels * 4
+        self.model_channels = model_channels
+        self.time_embed = nn.Sequential(
+            nn.Linear(model_channels, emb), nn.SiLU(), nn.Linear(emb, emb)
+        )
+        widths = [16, 16, 32, 32, 96, 96, 256]
+        strides = [1, 1, 2, 1, 2, 1, 2]
+        layers = []
+        cin = hint_channels
+        for w, s in zip(widths, strides):
+            layers += [nn.Conv2d(cin, w, 3, padding=1, stride=s), nn.SiLU()]
+            cin = w
+        layers.append(nn.Conv2d(cin, model_channels, 3, padding=1))
+        self.input_hint_block = nn.Sequential(*layers)
+
+        self.input_blocks = nn.ModuleList(
+            [nn.Sequential(nn.Conv2d(in_channels, model_channels, 3, padding=1))]
+        )
+        self.zero_convs = nn.ModuleList(
+            [nn.Sequential(nn.Conv2d(model_channels, model_channels, 1))]
+        )
+        self._plan = []
+        ch = model_channels
+        ds = 1
+        for level, mult in enumerate(channel_mult):
+            out_ch = model_channels * mult
+            for _ in range(num_res_blocks):
+                mods = [ResBlock(ch, out_ch, emb)]
+                attn = ds in attention_resolutions
+                if attn:
+                    mods.append(SpatialTransformer(out_ch, context_dim, heads,
+                                                   out_ch // heads))
+                self.input_blocks.append(nn.Sequential(*mods))
+                self.zero_convs.append(nn.Sequential(nn.Conv2d(out_ch, out_ch, 1)))
+                self._plan.append(("res", attn))
+                ch = out_ch
+            if level != len(channel_mult) - 1:
+                self.input_blocks.append(nn.Sequential(Downsample(ch)))
+                self.zero_convs.append(nn.Sequential(nn.Conv2d(ch, ch, 1)))
+                self._plan.append(("down", False))
+                ds *= 2
+        self.middle_block = nn.Sequential(
+            ResBlock(ch, ch, emb),
+            SpatialTransformer(ch, context_dim, heads, ch // heads),
+            ResBlock(ch, ch, emb),
+        )
+        self.middle_block_out = nn.Sequential(nn.Conv2d(ch, ch, 1))
+
+    def forward(self, x, hint, t, context):
+        emb = self.time_embed(timestep_embedding(t, self.model_channels))
+        guided = self.input_hint_block(hint)
+        h = self.input_blocks[0](x) + guided
+        outs = [self.zero_convs[0](h)]
+        for i, (kind, attn) in enumerate(self._plan):
+            block = self.input_blocks[i + 1]
+            if kind == "res":
+                h = block[0](h, emb)
+                if attn:
+                    h = block[1](h, context)
+            else:
+                h = block[0](h)
+            outs.append(self.zero_convs[i + 1](h))
+        h = self.middle_block[0](h, emb)
+        h = self.middle_block[1](h, context)
+        h = self.middle_block[2](h, emb)
+        outs.append(self.middle_block_out(h))
+        return outs
