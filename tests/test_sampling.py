@@ -1,0 +1,112 @@
+"""Sampler tests: DDIM scan + video overlap sampling on tiny configs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from magicdance_tpu.config import (
+    CLIPTextConfig,
+    ControlNetConfig,
+    ModelConfig,
+    ModelVariant,
+    SampleConfig,
+    UNetConfig,
+    VAEConfig,
+)
+from magicdance_tpu.models import MagicPoseModel
+from magicdance_tpu.ops.schedules import make_ddim_schedule, make_schedule
+from magicdance_tpu.sampling.ddim import ddim_sample
+from magicdance_tpu.sampling.overlap import ddim_sample_video, window_starts
+from magicdance_tpu.utils.testing import randomize_zero_kernels
+
+
+def tiny_cfg(variant=ModelVariant.APPEARANCE_POSE, motion=False):
+    return ModelConfig(
+        variant=variant,
+        unet=UNetConfig(model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+                        attention_resolutions=(1, 2), num_heads=2, context_dim=16,
+                        use_motion_modules=motion, motion_num_heads=2),
+        pose_control=ControlNetConfig(model_channels=32, channel_mult=(1, 2),
+                                      num_res_blocks=1, attention_resolutions=(1, 2),
+                                      num_heads=2, context_dim=16),
+        vae=VAEConfig(base_channels=32, channel_mult=(1, 2), num_res_blocks=1),
+        clip=CLIPTextConfig(vocab_size=100, hidden_size=16, num_layers=1,
+                            num_heads=2, max_length=5),
+        latent_size=8,
+        dtype="float32",
+    )
+
+
+def init_model(cfg, B=1):
+    model = MagicPoseModel(cfg)
+    x = jnp.zeros((B, 8, 8, 4))
+    t = jnp.zeros((B,), jnp.int32)
+    ctx = jnp.zeros((B, 5, 16))
+    kw = {}
+    if cfg.has_appearance:
+        kw["reference_noisy"] = x[:1]
+    if cfg.has_pose:
+        kw["pose_hint"] = jnp.zeros((B, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx, **kw)
+    return model, randomize_zero_kernels(params)
+
+
+def test_ddim_sample_shapes_and_determinism():
+    cfg = tiny_cfg()
+    model, params = init_model(cfg, B=2)
+    sched = make_schedule(cfg.diffusion)
+    ddim = make_ddim_schedule(sched, 4)
+    scfg = SampleConfig(steps=4, cfg_scale=7.0)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    ctx = jnp.zeros((1, 5, 16))
+    ref = jnp.zeros((1, 8, 8, 4))
+    hint = jnp.zeros((2, 64, 64, 3))
+    out1 = ddim_sample(model, params, sched, ddim, scfg, jax.random.PRNGKey(2),
+                       x_T, ctx, ctx, reference_latent=ref, pose_hint=hint)
+    out2 = ddim_sample(model, params, sched, ddim, scfg, jax.random.PRNGKey(2),
+                       x_T, ctx, ctx, reference_latent=ref, pose_hint=hint)
+    assert out1.shape == (2, 8, 8, 4)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    assert np.isfinite(np.asarray(out1)).all()
+
+
+def test_ddim_without_cfg_and_controls():
+    cfg = tiny_cfg(variant=ModelVariant.SD)
+    model, params = init_model(cfg)
+    sched = make_schedule(cfg.diffusion)
+    ddim = make_ddim_schedule(sched, 3)
+    scfg = SampleConfig(steps=3, cfg_scale=1.0)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    out = ddim_sample(model, params, sched, ddim, scfg, jax.random.PRNGKey(2),
+                      x_T, jnp.zeros((1, 5, 16)))
+    assert out.shape == (1, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_window_starts():
+    np.testing.assert_array_equal(window_starts(16, 16, 12), [0])
+    s = window_starts(40, 16, 12)
+    # covers every frame
+    covered = np.zeros(40, bool)
+    for st in s:
+        covered[(st + np.arange(16)) % 40] = True
+    assert covered.all()
+
+
+def test_overlap_video_sampling():
+    cfg = tiny_cfg(motion=True)
+    F, W = 10, 4
+    model, params = init_model(cfg, B=W)
+    sched = make_schedule(cfg.diffusion)
+    ddim = make_ddim_schedule(sched, 2)
+    scfg = SampleConfig(steps=2, cfg_scale=7.0, window=W, stride=3)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (F, 8, 8, 4))
+    ctx = jnp.zeros((1, 5, 16))
+    ref = jnp.zeros((1, 8, 8, 4))
+    hint = jnp.zeros((F, 64, 64, 3))
+    out = ddim_sample_video(model, params, sched, ddim, scfg,
+                            jax.random.PRNGKey(2), x_T, ctx, ctx,
+                            reference_latent=ref, pose_hint=hint)
+    assert out.shape == (F, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
