@@ -463,6 +463,24 @@ def convert_magicpose_state(
     return out
 
 
+def expand_conv_in(unet_tree: Dict[str, Any], new_in_channels: int) -> Dict[str, Any]:
+    """Zero-pad the UNet input conv for extra conditioning channels — the
+    mask-variant first-conv surgery (ref train_tiktok.py:251-271: weights for
+    the added channels start at zero so the pretrained 4-channel behavior is
+    preserved)."""
+    k = unet_tree["conv_in"]["kernel"]  # (3, 3, in, out)
+    cur = k.shape[2]
+    if new_in_channels < cur:
+        raise ValueError(f"cannot shrink conv_in {cur} -> {new_in_channels}")
+    if new_in_channels > cur:
+        pad = np.zeros(k.shape[:2] + (new_in_channels - cur, k.shape[3]),
+                       k.dtype)
+        unet_tree = dict(unet_tree)
+        unet_tree["conv_in"] = dict(unet_tree["conv_in"])
+        unet_tree["conv_in"]["kernel"] = np.concatenate([k, pad], axis=2)
+    return unet_tree
+
+
 def to_jax(tree, dtype=None):
     import jax.numpy as jnp
 

@@ -1,0 +1,114 @@
+"""FVD / FID-VID: video-level Frechet metrics.
+
+Mirrors the DisCo video metrics (ref: tool/metrics/metric_center.py fvd /
+fid-vid paths; tool/metrics/inception3d.py [I3D, FVD], resnet3d.py
+[3D-ResNet50, FID-VID]). Zero-egress environment: the pretrained 3D
+backbones must be supplied locally —
+
+  * FVD: the I3D rgb_imagenet TorchScript/torch file;
+  * FID-VID: a 3D-ResNet50 state dict / torchscript file.
+
+Feature extraction runs on torch CPU (offline eval work, same as the
+reference); the Frechet math is shared with image FID (metrics/core.py).
+Videos are (T, H, W, 3) uint8 folders or arrays; clips are resampled to the
+backbone's expected length/size.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Optional
+
+import numpy as np
+from PIL import Image
+
+
+def _load_video_model(weights_path: str):
+    import torch
+
+    try:
+        m = torch.jit.load(weights_path, map_location="cpu").eval()
+        return m
+    except Exception as e:
+        raise ValueError(
+            f"could not load video backbone from {weights_path}: {e}; provide "
+            "a TorchScript I3D/3D-ResNet file"
+        )
+
+
+def load_video_frames(folder: str, size: int = 224) -> np.ndarray:
+    frames = []
+    for f in sorted(os.listdir(folder)):
+        if not f.lower().endswith((".png", ".jpg", ".jpeg")):
+            continue
+        img = Image.open(os.path.join(folder, f)).convert("RGB")
+        frames.append(np.asarray(img.resize((size, size), Image.BILINEAR)))
+    return np.stack(frames) if frames else np.zeros((0, size, size, 3), np.uint8)
+
+
+def _resample_clip(video: np.ndarray, length: int) -> np.ndarray:
+    t = video.shape[0]
+    if t == 0:
+        return np.zeros((length,) + video.shape[1:], video.dtype)
+    idx = np.linspace(0, t - 1, length).round().astype(int)
+    return video[idx]
+
+
+def video_features(
+    videos: Iterable[np.ndarray],
+    weights_path: str,
+    clip_len: int = 16,
+    batch: int = 2,
+) -> np.ndarray:
+    """Features per video; each video (T, H, W, 3) uint8."""
+    import torch
+
+    model = _load_video_model(weights_path)
+    feats = []
+    buf = []
+
+    def flush():
+        if not buf:
+            return
+        x = np.stack(buf).astype(np.float32) / 127.5 - 1.0  # (B, T, H, W, 3)
+        x = torch.from_numpy(x).permute(0, 4, 1, 2, 3)  # (B, 3, T, H, W)
+        with torch.no_grad():
+            out = model(x)
+        feats.append(out.cpu().numpy().reshape(len(buf), -1))
+        buf.clear()
+
+    for v in videos:
+        buf.append(_resample_clip(v, clip_len))
+        if len(buf) >= batch:
+            flush()
+    flush()
+    return np.concatenate(feats) if feats else np.zeros((0, 400), np.float32)
+
+
+def fvd_between_roots(
+    gen_root: str,
+    gt_root: str,
+    weights_path: str,
+    gen_name: str = "gen_images",
+    gt_name: str = "gt_images",
+    clip_len: int = 16,
+) -> float:
+    """Walk `{root}/{seq}/{gen,gt}` video folders and compute the Frechet
+    distance between pooled video features (FVD with I3D weights, FID-VID
+    with a 3D-ResNet)."""
+    from magicdance_tpu.metrics.core import (
+        frechet_distance,
+        gaussian_frechet_stats,
+    )
+
+    seqs = [d for d in sorted(os.listdir(gen_root))
+            if os.path.isdir(os.path.join(gen_root, d, gen_name))]
+    gen_videos = (load_video_frames(os.path.join(gen_root, s, gen_name))
+                  for s in seqs)
+    gt_videos = (load_video_frames(os.path.join(gt_root, s, gt_name))
+                 for s in seqs)
+    f1 = video_features(gen_videos, weights_path, clip_len)
+    f2 = video_features(gt_videos, weights_path, clip_len)
+    mu1, s1 = gaussian_frechet_stats(f1)
+    mu2, s2 = gaussian_frechet_stats(f2)
+    return frechet_distance(mu1, s1, mu2, s2)

@@ -94,3 +94,38 @@ class CLIPTextEncoder(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32,
                          name="final_layer_norm")(x.astype(jnp.float32))
         return x
+
+
+def encode_long_prompt(
+    encoder: CLIPTextEncoder,
+    params,
+    token_ids,
+    windows: int = 3,
+) -> jax.Array:
+    """>77-token prompts via chunked windows (ref: cldm/hack.py:32
+    _hacked_clip_forward — splits long prompts into 75-token windows wrapped
+    in BOS/EOS, encodes each through the frozen 77-token encoder and
+    concatenates the hidden states along the sequence axis).
+
+    token_ids: (B, n) raw BPE ids WITHOUT bos/eos, padded with eos.
+    Returns (B, windows*77, hidden).
+    """
+    cfg = encoder.cfg
+    body = cfg.max_length - 2  # 75
+    b, n = token_ids.shape
+    total = windows * body
+    pad = jnp.full((b, max(0, total - n)), cfg.eos_token_id, token_ids.dtype)
+    ids = jnp.concatenate([token_ids[:, :total], pad], axis=1)
+    outs = []
+    for w in range(windows):
+        chunk = ids[:, w * body : (w + 1) * body]
+        chunk = jnp.concatenate(
+            [
+                jnp.full((b, 1), cfg.bos_token_id, ids.dtype),
+                chunk,
+                jnp.full((b, 1), cfg.eos_token_id, ids.dtype),
+            ],
+            axis=1,
+        )
+        outs.append(encoder.apply(params, chunk))
+    return jnp.concatenate(outs, axis=1)

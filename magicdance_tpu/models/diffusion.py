@@ -40,7 +40,16 @@ def diffusion_loss(
     """
     b = x_start.shape[0]
     rng_t, rng_noise, rng_ref = jax.random.split(rng, 3)
-    t = jax.random.randint(rng_t, (b,), 0, sched.num_timesteps, dtype=jnp.int32)
+    if num_frames > 1:
+        # temporal: one timestep per clip, shared by its frames
+        # (AnimateDiff convention; frames are folded as (B_clips*F, ...))
+        t_clip = jax.random.randint(
+            rng_t, (b // num_frames,), 0, sched.num_timesteps, dtype=jnp.int32
+        )
+        t = jnp.repeat(t_clip, num_frames)
+    else:
+        t = jax.random.randint(rng_t, (b,), 0, sched.num_timesteps,
+                               dtype=jnp.int32)
     noise = jax.random.normal(rng_noise, x_start.shape, dtype=x_start.dtype)
     x_noisy = q_sample(sched, x_start, t, noise)
 
@@ -49,7 +58,8 @@ def diffusion_loss(
         if wonoise:
             reference_noisy = reference_latent
         else:
-            t_ref = t[: reference_latent.shape[0]]
+            stride = max(1, t.shape[0] // reference_latent.shape[0])
+            t_ref = t[::stride][: reference_latent.shape[0]]
             ref_noise = jax.random.normal(
                 rng_ref, reference_latent.shape, dtype=reference_latent.dtype
             )

@@ -97,14 +97,23 @@ class MagicPoseModel(nn.Module):
         uc: bool = False,
         num_frames: int = 1,
         deterministic: bool = True,
+        concat_cond: Optional[jax.Array] = None,
     ) -> jax.Array:
         """eps/v prediction (ref cldm.py:1099-1117 apply_model).
 
         Either pass `reference_noisy` (bank computed inline, training path) or
         a precomputed `bank` (inference path where one reference serves many
         frames/steps). `uc=True` is the CFG uncond vanilla-SD pass.
+        `concat_cond` (mask / masked-latent channels) is concatenated onto the
+        UNet input for the inpaint/mask variants (ref cldm.py:889
+        ControlInpaintLDM, :985 ControlLDMVideoMaskPose; ddim.py:524-527
+        per-step c_concat) — cfg.unet.in_channels must account for it.
         """
         dtype = self._dtype()
+        if concat_cond is not None:
+            x_noisy = jnp.concatenate(
+                [x_noisy, concat_cond.astype(x_noisy.dtype)], axis=-1
+            )
         if uc:
             out, _ = self.unet(
                 x_noisy, timesteps, context, num_frames=num_frames,
@@ -112,17 +121,29 @@ class MagicPoseModel(nn.Module):
             )
             return out
 
+        if bank is not None and len(bank) and bank[0].shape[0] not in (1, x_noisy.shape[0]):
+            # temporal training: one reference per clip, frames folded into
+            # batch — repeat bank entries per frame (Bb -> B*F)
+            rep = x_noisy.shape[0] // bank[0].shape[0]
+            bank = tuple(jnp.repeat(e, rep, axis=0) for e in bank)
+
         if bank is None and self.cfg.has_appearance and reference_noisy is not None:
             # reference branch uses the same timestep trajectory as the main
-            # latent (ref ddpm.py:2165-2179)
+            # latent (ref ddpm.py:2165-2179); with frames folded into batch,
+            # one reference per clip takes its clip's timestep
             t_ref = timesteps
             if reference_noisy.shape[0] != timesteps.shape[0]:
-                t_ref = timesteps[: reference_noisy.shape[0]]
+                stride = timesteps.shape[0] // reference_noisy.shape[0]
+                t_ref = timesteps[::stride]
             ctx_ref = context
             if context.shape[0] != reference_noisy.shape[0]:
-                ctx_ref = context[: reference_noisy.shape[0]]
+                stride = max(1, context.shape[0] // reference_noisy.shape[0])
+                ctx_ref = context[::stride][: reference_noisy.shape[0]]
             bank = self.compute_bank(reference_noisy, t_ref, ctx_ref,
                                      deterministic=deterministic)
+            if bank[0].shape[0] not in (1, x_noisy.shape[0]):
+                rep = x_noisy.shape[0] // bank[0].shape[0]
+                bank = tuple(jnp.repeat(e, rep, axis=0) for e in bank)
 
         pose_residuals = None
         if self.cfg.has_pose and pose_hint is not None:

@@ -62,15 +62,18 @@ class VAEAttnBlock(nn.Module):
         q = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="q")(z)
         k = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="k")(z)
         v = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32, name="v")(z)
-        q = q.reshape(b, h * w, c)
-        k = k.reshape(b, h * w, c)
-        v = v.reshape(b, h * w, c)
-        logits = jnp.einsum("bqc,bkc->bqk", q, k,
-                            preferred_element_type=jnp.float32) * (c ** -0.5)
-        attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bqk,bkc->bqc", attn, v,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
-        out = out.reshape(b, h, w, c)
+        # single-head attention over h*w positions; at 64x64 decode this is a
+        # 4096-seq attention — route through the shared dispatcher (Pallas on
+        # TPU) instead of materializing (B, 4096, 4096) fp32 logits. Q/K/V go
+        # in bf16 (512-dim f32 K/V would not fit VMEM; logits/softmax stay
+        # fp32 inside the kernel).
+        from magicdance_tpu.ops.attention import dot_product_attention
+
+        adt = jnp.bfloat16 if self.dtype == jnp.float32 else self.dtype
+        q = q.reshape(b, h * w, 1, c).astype(adt)
+        k = k.reshape(b, h * w, 1, c).astype(adt)
+        v = v.reshape(b, h * w, 1, c).astype(adt)
+        out = dot_product_attention(q, k, v).reshape(b, h, w, c).astype(self.dtype)
         out = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
                       name="proj_out")(out)
         return x + out

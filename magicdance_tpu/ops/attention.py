@@ -89,9 +89,12 @@ def _pick_impl(q: jax.Array, k: jax.Array) -> str:
         return override
     on_tpu = jax.default_backend() == "tpu"
     sq, sk = q.shape[1], k.shape[1]
-    # flash pays off once the logits matrix stops fitting comfortably in VMEM;
-    # short cross-attention (77-token context) stays on the XLA path.
-    if on_tpu and sq >= 1024 and sk >= 1024:
+    # all latent-resolution self-attention goes through the Pallas kernels —
+    # even at S=256 the XLA path pays for BSNH<->BHSK layout shuffles; only
+    # short cross-attention (77-token context) stays on XLA, and very wide
+    # heads (VAE's single 512-dim head) whose full-row K/V would not fit
+    # VMEM alongside the logits.
+    if on_tpu and sq >= 256 and sk >= 256 and q.shape[-1] <= 256:
         return "flash"
     return "xla"
 

@@ -34,12 +34,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_bq(s_total: int, d: int, vmem_budget: int = 10 * 1024 * 1024) -> int:
+def _pick_bq(s_total: int, d: int, itemsize: int = 2,
+             vmem_budget: int = 10 * 1024 * 1024) -> int:
     """Largest query block keeping logits + kv + probs under budget."""
     for bq in (512, 256, 128, 64, 32, 16, 8):
         logits = bq * s_total * 4
         probs = bq * s_total * 4
-        kv = 2 * s_total * max(d, 128) * 2
+        kv = 2 * s_total * max(d, 128) * itemsize
         if logits + probs + kv < vmem_budget:
             return bq
     return 8
@@ -111,7 +112,7 @@ def flash_attention(q, k, v, *, scale: float):
     b, sq, h, d = q.shape
     sk = k.shape[1]
     qr, kr, vr = _to_bhsd(q), _to_bhsd(k), _to_bhsd(v)
-    bq = min(_pick_bq(sk, d), sq)
+    bq = min(_pick_bq(sk, d, q.dtype.itemsize), sq)
     grid = (b * h, pl.cdiv(sq, bq))
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
@@ -141,7 +142,7 @@ def flash_attention_two_source(q, k_self, v_self, k_bank, v_bank, *, scale: floa
     bb = k_bank.shape[0]
     qr, kr, vr = _to_bhsd(q), _to_bhsd(k_self), _to_bhsd(v_self)
     kbr, vbr = _to_bhsd(k_bank), _to_bhsd(v_bank)
-    bq = min(_pick_bq(sk + sb, d), sq)
+    bq = min(_pick_bq(sk + sb, d, q.dtype.itemsize), sq)
     grid = (b * h, pl.cdiv(sq, bq))
 
     if bb == 1:
@@ -167,3 +168,118 @@ def flash_attention_two_source(q, k_self, v_self, k_bank, v_bank, *, scale: floa
                                memory_space=pltpu.VMEM),
     )(qr, kr, vr, kbr, vbr)
     return _from_bhsd(out, b, h)
+
+
+# ---------------------------------------------------------------------------
+# fused-layout kernels: q/k/v arrive as (B, S, H*D) — the raw projection
+# output — heads are split INSIDE the kernel by static lane slices, so the
+# host-side split-heads reshape/transpose around attention disappears
+# entirely. Satisfies the TPU tiling rule (last block dim == full array dim).
+# ---------------------------------------------------------------------------
+
+
+def _attn_kernel_fused(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                       num_heads: int):
+    q = q_ref[0]  # (BQ, H*D)
+    k = k_ref[0]  # (S, H*D)
+    v = v_ref[0]
+    hd = q.shape[-1] // num_heads
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        logits = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = (o / denom).astype(o_ref.dtype)
+
+
+def _attn2_kernel_fused(q_ref, k_ref, v_ref, kb_ref, vb_ref, o_ref, *,
+                        scale: float, num_heads: int):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    kb = kb_ref[0]
+    vb = vb_ref[0]
+    hd = q.shape[-1] // num_heads
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        l_self = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        l_bank = jax.lax.dot_general(
+            q[:, sl], kb[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m = jnp.maximum(jnp.max(l_self, axis=-1, keepdims=True),
+                        jnp.max(l_bank, axis=-1, keepdims=True))
+        p_self = jnp.exp(l_self - m)
+        p_bank = jnp.exp(l_bank - m)
+        denom = (jnp.sum(p_self, axis=-1, keepdims=True)
+                 + jnp.sum(p_bank, axis=-1, keepdims=True))
+        o = jax.lax.dot_general(
+            p_self.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o = o + jax.lax.dot_general(
+            p_bank.astype(vb.dtype), vb[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = (o / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "num_heads"))
+def flash_attention_fused(q, k, v, *, scale: float, num_heads: int):
+    """q/k/v: (B, S, H*D) — no head split on the host."""
+    b, sq, hd_all = q.shape
+    sk = k.shape[1]
+    d = hd_all // num_heads
+    bq = min(_pick_bq(sk, d, q.dtype.itemsize), sq)
+    grid = (b, pl.cdiv(sq, bq))
+    qspec = pl.BlockSpec((1, bq, hd_all), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, sk, hd_all), lambda bi, qi: (bi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_fused, scale=scale,
+                          num_heads=num_heads),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=grid,
+        in_specs=[qspec, kvspec, kvspec],
+        out_specs=qspec,
+    )(q, k, v)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "num_heads"))
+def flash_attention_two_source_fused(q, k_self, v_self, k_bank, v_bank, *,
+                                     scale: float, num_heads: int):
+    """Fused-layout bank-read attention; bank batch ∈ {1, B}."""
+    b, sq, hd_all = q.shape
+    sk = k_self.shape[1]
+    sb = k_bank.shape[1]
+    bb = k_bank.shape[0]
+    d = hd_all // num_heads
+    bq = min(_pick_bq(sk + sb, d, q.dtype.itemsize), sq)
+    grid = (b, pl.cdiv(sq, bq))
+    qspec = pl.BlockSpec((1, bq, hd_all), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, sk, hd_all), lambda bi, qi: (bi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    bank_map = (lambda bi, qi: (0, 0, 0)) if bb == 1 else (
+        lambda bi, qi: (bi, 0, 0))
+    bspec = pl.BlockSpec((1, sb, hd_all), bank_map, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn2_kernel_fused, scale=scale,
+                          num_heads=num_heads),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=grid,
+        in_specs=[qspec, kvspec, kvspec, bspec, bspec],
+        out_specs=qspec,
+    )(q, k_self, v_self, k_bank, v_bank)

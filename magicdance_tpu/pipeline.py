@@ -161,6 +161,7 @@ class MagicPosePipeline:
         scfg: SampleConfig = SampleConfig(),
         prompts: Optional[list[str]] = None,
         decode: bool = True,
+        video: bool = False,
     ) -> jax.Array:
         """pose_maps: (F, H, W, 3) in [0,1] or None; reference_image:
         (1, H, W, 3) in [-1,1] or None. Returns (F, H, W, 3) images in
@@ -168,6 +169,9 @@ class MagicPosePipeline:
 
         Shared x_T across frames per the reference recipe
         (test_any_image_pose.py:201-202) when scfg.shared_noise.
+        `video=True` (temporal model variants) routes through overlap
+        sampling: motion-module windows of scfg.window frames, stride
+        scfg.stride.
         """
         cfg = self.cfg
         if pose_maps is not None:
@@ -195,16 +199,28 @@ class MagicPosePipeline:
             x_T = jax.random.normal(rng_noise, (F, latent, latent, 4))
 
         ddim = make_ddim_schedule(self.sched, scfg.steps, eta=scfg.eta)
+        video = video and cfg.has_temporal
         key = (scfg.steps, scfg.cfg_scale, scfg.eta, scfg.wonoise, F, latent,
-               pose_maps is not None, ref_latent is not None, decode)
+               pose_maps is not None, ref_latent is not None, decode, video,
+               scfg.window, scfg.stride)
         if key not in self._jit_sample:
             def run(params, x_T, ctx, uctx, ref_latent, pose_maps, rng):
-                lat = ddim_sample(
-                    self.model, params["model"], self.sched, ddim, scfg, rng,
-                    x_T, ctx, uctx,
-                    reference_latent=ref_latent, pose_hint=pose_maps,
-                    parameterization=cfg.diffusion.parameterization,
-                )
+                if video:
+                    from magicdance_tpu.sampling.overlap import ddim_sample_video
+
+                    lat = ddim_sample_video(
+                        self.model, params["model"], self.sched, ddim, scfg,
+                        rng, x_T, ctx, uctx,
+                        reference_latent=ref_latent, pose_hint=pose_maps,
+                        parameterization=cfg.diffusion.parameterization,
+                    )
+                else:
+                    lat = ddim_sample(
+                        self.model, params["model"], self.sched, ddim, scfg,
+                        rng, x_T, ctx, uctx,
+                        reference_latent=ref_latent, pose_hint=pose_maps,
+                        parameterization=cfg.diffusion.parameterization,
+                    )
                 if decode:
                     return self.vae.apply(
                         params["vae"],

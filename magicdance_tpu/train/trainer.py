@@ -216,20 +216,29 @@ class Trainer:
 
         rng_vae, rng_ref, rng_loss = jax.random.split(rng, 3)
 
-        # frozen feature extractors (no grads flow here: inputs are data)
-        post = self.vae.apply(vae_params, batch["image"], method=self.vae.encode)
-        x0 = encode_to_latent(post.sample(rng_vae), cfg.model.vae.scale_factor)
+        # frozen feature extractors — no grads flow through them, so the
+        # forward-only Pallas attention kernels are safe here even though the
+        # loss itself is traced under attention_impl("xla")
+        from magicdance_tpu.ops.attention import attention_impl
 
-        ref_latent = None
-        if cfg.model.has_appearance:
-            ref_post = self.vae.apply(
-                vae_params, batch["reference"], method=self.vae.encode
-            )
-            ref_latent = encode_to_latent(
-                ref_post.sample(rng_ref), cfg.model.vae.scale_factor
-            )
+        with attention_impl("auto"):
+            post = self.vae.apply(vae_params, batch["image"], method=self.vae.encode)
+            x0 = encode_to_latent(post.sample(rng_vae), cfg.model.vae.scale_factor)
 
-        context = self.clip.apply(clip_params, batch["input_ids"])
+            ref_latent = None
+            if cfg.model.has_appearance:
+                ref_post = self.vae.apply(
+                    vae_params, batch["reference"], method=self.vae.encode
+                )
+                ref_latent = encode_to_latent(
+                    ref_post.sample(rng_ref), cfg.model.vae.scale_factor
+                )
+
+            context = self.clip.apply(clip_params, batch["input_ids"])
+        x0 = jax.lax.stop_gradient(x0)
+        if ref_latent is not None:
+            ref_latent = jax.lax.stop_gradient(ref_latent)
+        context = jax.lax.stop_gradient(context)
 
         pose_hint = batch.get("pose") if cfg.model.has_pose else None
         num_frames = self.num_frames
