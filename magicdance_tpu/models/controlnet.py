@@ -81,6 +81,11 @@ class PoseControlNet(nn.Module):
         [0, 1]. Returns the 13-tuple of zero-conv residuals (fp32)."""
         cfg = self.cfg
         ucfg = self._unet_cfg()
+        if cfg.remat:
+            RB = nn.remat(ResBlock)
+            ST = nn.remat(SpatialTransformer, static_argnums=(4,))
+        else:
+            RB, ST = ResBlock, SpatialTransformer
         t_emb = timestep_embedding(timesteps, cfg.model_channels, dtype=dtype)
         emb = TimestepEmbedMLP(cfg.model_channels, dtype=dtype, name="time_embed")(t_emb)
 
@@ -95,15 +100,16 @@ class PoseControlNet(nn.Module):
         zc = 1
         for u in units:
             if u["kind"] == "res":
-                h = ResBlock(u["ch"], dtype=dtype, name=f"enc_res_{res_i}")(
+                h = RB(u["ch"], dtype=dtype, name=f"enc_res_{res_i}")(
                     h, emb, deterministic=deterministic)
                 res_i += 1
                 if u["attn"]:
-                    h, _ = SpatialTransformer(
+                    h, _ = ST(
                         num_heads=cfg.num_heads, head_dim=u["ch"] // cfg.num_heads,
                         depth=cfg.transformer_depth, dtype=dtype,
                         name=f"enc_attn_{attn_i}",
-                    )(h, context.astype(dtype) if context is not None else None)
+                    )(h, context.astype(dtype) if context is not None else None,
+                      None, False)
                     attn_i += 1
             else:
                 h = Downsample(u["ch"], dtype=dtype, name=f"enc_down_{down_i}")(h)
@@ -113,13 +119,14 @@ class PoseControlNet(nn.Module):
             zc += 1
 
         mid_ch = cfg.model_channels * cfg.channel_mult[-1]
-        h = ResBlock(mid_ch, dtype=dtype, name="mid_res_0")(h, emb,
+        h = RB(mid_ch, dtype=dtype, name="mid_res_0")(h, emb,
                                                             deterministic=deterministic)
-        h, _ = SpatialTransformer(
+        h, _ = ST(
             num_heads=cfg.num_heads, head_dim=mid_ch // cfg.num_heads,
             depth=cfg.transformer_depth, dtype=dtype, name="mid_attn",
-        )(h, context.astype(dtype) if context is not None else None)
-        h = ResBlock(mid_ch, dtype=dtype, name="mid_res_1")(h, emb,
+        )(h, context.astype(dtype) if context is not None else None,
+          None, False)
+        h = RB(mid_ch, dtype=dtype, name="mid_res_1")(h, emb,
                                                             deterministic=deterministic)
         outs.append(conv1x1(mid_ch, dtype=dtype, name="zero_conv_mid", zero_init=True)(h))
         return tuple(o.astype(jnp.float32) for o in outs)

@@ -124,6 +124,14 @@ class UNet(nn.Module):
         """
         cfg = self.cfg
         assert bank is None or not collect_bank, "write and read are exclusive"
+        # rematerialize blocks under autodiff (no-op on forward-only graphs):
+        # SD1.5-scale 512^2 training does not fit HBM without it
+        if cfg.remat:
+            RB = nn.remat(ResBlock)
+            ST = nn.remat(SpatialTransformer, static_argnums=(4,))
+            TT = nn.remat(TemporalTransformer)
+        else:
+            RB, ST, TT = ResBlock, SpatialTransformer, TemporalTransformer
         if bank is not None:
             assert len(bank) == num_bank_entries(cfg), (
                 f"bank has {len(bank)} entries, expected {num_bank_entries(cfg)}"
@@ -148,13 +156,13 @@ class UNet(nn.Module):
             if not use_mm:
                 # params must exist even for single-frame calls so the
                 # checkpoint layout is frame-count independent
-                return TemporalTransformer(
+                return TT(
                     num_heads=cfg.motion_num_heads, max_len=cfg.motion_max_len,
                     num_layers=cfg.motion_layers, dtype=dtype, name=name,
                 )(h[:, None])[:, 0]
             b2, hh, ww, c = h.shape
             hv = h.reshape(b2 // num_frames, num_frames, hh, ww, c)
-            hv = TemporalTransformer(
+            hv = TT(
                 num_heads=cfg.motion_num_heads, max_len=cfg.motion_max_len,
                 num_layers=cfg.motion_layers, dtype=dtype, name=name,
             )(hv)
@@ -171,17 +179,17 @@ class UNet(nn.Module):
         res_i = down_i = attn_i = mm_i = 0
         for u in units:
             if u["kind"] == "res":
-                h = ResBlock(u["ch"], dropout=cfg.dropout, dtype=dtype,
+                h = RB(u["ch"], dropout=cfg.dropout, dtype=dtype,
                              name=f"enc_res_{res_i}")(h, emb, deterministic=deterministic)
                 res_i += 1
                 if u["attn"]:
                     head_dim = u["ch"] // cfg.num_heads
-                    h, written = SpatialTransformer(
+                    h, written = ST(
                         num_heads=cfg.num_heads, head_dim=head_dim,
                         depth=cfg.transformer_depth, dtype=dtype,
                         name=f"enc_attn_{attn_i}",
-                    )(h, context, bank_entries=take_bank(cfg.transformer_depth),
-                      collect=collect_bank)
+                    )(h, context, take_bank(cfg.transformer_depth),
+                      collect_bank)
                     attn_i += 1
                     bank_written.extend(written)
                 h = motion(h, f"enc_motion_{mm_i}")
@@ -194,14 +202,14 @@ class UNet(nn.Module):
 
         # --- middle --------------------------------------------------------
         mid_ch = cfg.model_channels * cfg.channel_mult[-1]
-        h = ResBlock(mid_ch, dropout=cfg.dropout, dtype=dtype, name="mid_res_0")(
+        h = RB(mid_ch, dropout=cfg.dropout, dtype=dtype, name="mid_res_0")(
             h, emb, deterministic=deterministic)
-        h, written = SpatialTransformer(
+        h, written = ST(
             num_heads=cfg.num_heads, head_dim=mid_ch // cfg.num_heads,
             depth=cfg.transformer_depth, dtype=dtype, name="mid_attn",
-        )(h, context, bank_entries=take_bank(cfg.transformer_depth), collect=collect_bank)
+        )(h, context, take_bank(cfg.transformer_depth), collect_bank)
         bank_written.extend(written)
-        h = ResBlock(mid_ch, dropout=cfg.dropout, dtype=dtype, name="mid_res_1")(
+        h = RB(mid_ch, dropout=cfg.dropout, dtype=dtype, name="mid_res_1")(
             h, emb, deterministic=deterministic)
 
         if pose_residuals is not None:
@@ -218,16 +226,16 @@ class UNet(nn.Module):
                 if pose_residuals is not None:
                     skip = skip + pose_residuals[len(hs)].astype(skip.dtype)
                 h = jnp.concatenate([h, skip], axis=-1)
-                h = ResBlock(out_ch, dropout=cfg.dropout, dtype=dtype,
+                h = RB(out_ch, dropout=cfg.dropout, dtype=dtype,
                              name=f"dec_res_{dec_i}")(h, emb, deterministic=deterministic)
                 dec_i += 1
                 if ds in cfg.attention_resolutions:
-                    h, written = SpatialTransformer(
+                    h, written = ST(
                         num_heads=cfg.num_heads, head_dim=out_ch // cfg.num_heads,
                         depth=cfg.transformer_depth, dtype=dtype,
                         name=f"dec_attn_{dattn_i}",
-                    )(h, context, bank_entries=take_bank(cfg.transformer_depth),
-                      collect=collect_bank)
+                    )(h, context, take_bank(cfg.transformer_depth),
+                      collect_bank)
                     dattn_i += 1
                     bank_written.extend(written)
                 h = motion(h, f"dec_motion_{dmm_i}")

@@ -110,3 +110,36 @@ def test_overlap_video_sampling():
                             reference_latent=ref, pose_hint=hint)
     assert out.shape == (F, 8, 8, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_plms_sampler():
+    from magicdance_tpu.sampling.plms import plms_sample
+
+    cfg = tiny_cfg()
+    model, params = init_model(cfg, B=2)
+    sched = make_schedule(cfg.diffusion)
+    ddim = make_ddim_schedule(sched, 6)
+    scfg = SampleConfig(steps=6, cfg_scale=3.0)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    out = plms_sample(model, params, sched, ddim, scfg, jax.random.PRNGKey(2),
+                      x_T, jnp.zeros((1, 5, 16)), jnp.zeros((1, 5, 16)),
+                      reference_latent=jnp.zeros((1, 8, 8, 4)),
+                      pose_hint=jnp.zeros((2, 64, 64, 3)))
+    assert out.shape == (2, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dpmpp_sampler():
+    from magicdance_tpu.sampling.dpm import dpmpp_2m_sample
+
+    cfg = tiny_cfg()
+    model, params = init_model(cfg, B=2)
+    sched = make_schedule(cfg.diffusion)
+    scfg = SampleConfig(steps=8, cfg_scale=3.0)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    out = dpmpp_2m_sample(model, params, sched, 8, scfg, jax.random.PRNGKey(2),
+                          x_T, jnp.zeros((1, 5, 16)), jnp.zeros((1, 5, 16)),
+                          reference_latent=jnp.zeros((1, 8, 8, 4)),
+                          pose_hint=jnp.zeros((2, 64, 64, 3)))
+    assert out.shape == (2, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
