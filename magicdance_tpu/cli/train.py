@@ -51,7 +51,7 @@ def main(argv=None) -> None:
     from magicdance_tpu.data.tiktok import TikTokPairDataset
     from magicdance_tpu.data.tokenizer import empty_prompt_ids
     from magicdance_tpu.models import AutoencoderKL, CLIPTextEncoder, MagicPoseModel
-    from magicdance_tpu.parallel.mesh import batch_sharding, make_mesh
+    from magicdance_tpu.parallel.mesh import make_mesh
     from magicdance_tpu.train.checkpoint import CheckpointManager
     from magicdance_tpu.train.trainer import Trainer
     from magicdance_tpu.utils.logging import MetricLogger
@@ -147,8 +147,51 @@ def main(argv=None) -> None:
                 batch.pop("pose", None)
             yield batch
 
-    loader = PrefetchLoader(it_factory, workers=2,
-                            sharding=batch_sharding(mesh))
+    # pass the Mesh: the loader builds rank-aware batch shardings per key
+    loader = PrefetchLoader(it_factory, workers=2, sharding=mesh)
+
+    # ---- periodic visualization (ref train_tiktok.py:388-531,1258-1268:
+    # every logging_gen_steps rank 0 samples a val batch and writes a
+    # GT | pose | generated | reference comparison grid) ------------------
+    def visualize(it: int, batch: dict, state) -> None:
+        from magicdance_tpu.parallel.multihost import is_primary
+
+        if not is_primary():
+            return
+        import numpy as np
+
+        from magicdance_tpu.config import SampleConfig
+        from magicdance_tpu.data.transforms import from_model_range
+        from magicdance_tpu.pipeline import MagicPosePipeline
+        from magicdance_tpu.train.trainer import merge_params
+        from magicdance_tpu.utils.video import save_image_grid
+
+        pipe = MagicPosePipeline(cfg.model)
+        pipe.params = {
+            "model": {"params": merge_params(
+                jax.device_get(state.train_params),
+                jax.device_get(state.frozen_params["model"]))},
+            "vae": {"params": jax.device_get(state.frozen_params["vae"])},
+            "clip": {"params": jax.device_get(state.frozen_params["clip"])},
+        }
+        n = min(2, batch["image"].shape[0])
+        pose = jnp.asarray(batch["pose"][:n]) if "pose" in batch else None
+        ref = jnp.asarray(batch["reference"][:1])
+        gen = np.asarray(pipe.sample_frames(
+            jax.random.PRNGKey(it), pose, ref,
+            SampleConfig(steps=cfg.vis_steps, cfg_scale=7.0)))
+        rows = []
+        for i in range(n):
+            row = [from_model_range(np.asarray(batch["image"][i]))]
+            if pose is not None:
+                row.append((np.asarray(pose[i]) * 255).astype(np.uint8))
+            row.append(from_model_range(gen[i]))
+            row.append(from_model_range(np.asarray(batch["reference"][0])))
+            rows.append(row)
+        out = os.path.join(args.output, "samples", f"step_{it:08d}.png")
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        save_image_grid(rows, out)
+        print(f"[train] wrote sample grid {out}")
 
     # ---- loop -----------------------------------------------------------
     logger = MetricLogger(os.path.join(args.output, "tb"))
@@ -156,6 +199,7 @@ def main(argv=None) -> None:
     step_fn = trainer.jitted_step(state, batch)
     t_last = time.time()
     for it in range(start_step, cfg.num_train_steps):
+        vis_batch = batch if (it + 1) % cfg.logging_gen_steps == 0 else None
         state, metrics = step_fn(state, batch, jax.random.fold_in(rng, it))
         batch = next(loader)
         if (it + 1) % cfg.logging_steps == 0:
@@ -166,6 +210,11 @@ def main(argv=None) -> None:
             logger.log(it + 1, {**m, "images_per_sec": ips})
             print(f"[train] step {it+1} loss={m['loss']:.4f} "
                   f"{ips:.1f} img/s")
+        if vis_batch is not None:
+            try:
+                visualize(it + 1, jax.device_get(vis_batch), state)
+            except Exception as e:  # visualization must never kill training
+                print(f"[train] visualize failed: {e}")
         if (it + 1) % cfg.save_steps == 0:
             ckpt.save(it + 1, jax.device_get(state))
             print(f"[train] saved step {it+1}")

@@ -54,21 +54,35 @@ class PrefetchLoader:
         except Exception as e:  # pragma: no cover - worker crash surfaces on get
             self._host_q.put({"__error__": repr(e)})
 
+    def _resolve_sharding(self, key: str, value) -> Any:
+        s = self._sharding
+        if s is None:
+            return None
+        if isinstance(s, dict):
+            return s.get(key)
+        # a Mesh: shard the leading (batch) axis, rank-aware per value
+        from jax.sharding import Mesh
+
+        if isinstance(s, Mesh):
+            from magicdance_tpu.parallel.mesh import batch_sharding
+
+            return batch_sharding(s, ndim=value.ndim)
+        return s  # a single Sharding — caller guarantees rank compatibility
+
     def _transfer(self) -> None:
-        while not self._stop.is_set():
-            batch = self._host_q.get()
-            if "__error__" in batch:
-                self._dev_q.put(batch)
-                return
-            if self._sharding is not None:
-                batch = {
-                    k: jax.device_put(v, self._sharding[k] if isinstance(
-                        self._sharding, dict) else self._sharding)
-                    for k, v in batch.items()
-                }
-            else:
-                batch = {k: jax.device_put(v) for k, v in batch.items()}
-            self._dev_q.put(batch)
+        try:
+            while not self._stop.is_set():
+                batch = self._host_q.get()
+                if "__error__" in batch:
+                    self._dev_q.put(batch)
+                    return
+                out = {}
+                for k, v in batch.items():
+                    sh = self._resolve_sharding(k, v)
+                    out[k] = jax.device_put(v, sh) if sh is not None else jax.device_put(v)
+                self._dev_q.put(out)
+        except Exception as e:  # surface on the consumer side, never hang
+            self._dev_q.put({"__error__": repr(e)})
 
     def __iter__(self):
         return self

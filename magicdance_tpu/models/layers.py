@@ -202,6 +202,7 @@ class CrossAttention(nn.Module):
         x: jax.Array,
         context: Optional[jax.Array] = None,
         kv_extra: Optional[jax.Array] = None,
+        bank_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
         inner = self.num_heads * self.head_dim
         ctx = x if context is None else context
@@ -220,7 +221,8 @@ class CrossAttention(nn.Module):
             # bank into `context` before projecting, attention.py:308-310).
             kb = to_k(kv_extra)
             vb = to_v(kv_extra)
-            out = bank_read_attention(q, k, v, split_heads(kb), split_heads(vb))
+            out = bank_read_attention(q, k, v, split_heads(kb), split_heads(vb),
+                                      bank_mask=bank_mask)
         else:
             out = dot_product_attention(q, k, v)
         out = out.reshape(out.shape[0], out.shape[1], inner)
@@ -249,6 +251,7 @@ class BasicTransformerBlock(nn.Module):
         context: Optional[jax.Array],
         bank_entry: Optional[jax.Array] = None,
         collect: bool = False,
+        bank_mask: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
         written = None
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="norm1")(
@@ -258,7 +261,7 @@ class BasicTransformerBlock(nn.Module):
             written = h
         x = x + CrossAttention(
             num_heads=self.num_heads, head_dim=self.head_dim, dtype=self.dtype, name="attn1"
-        )(h, context=None, kv_extra=bank_entry)
+        )(h, context=None, kv_extra=bank_entry, bank_mask=bank_mask)
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="norm2")(
             x.astype(jnp.float32)
@@ -290,6 +293,7 @@ class SpatialTransformer(nn.Module):
         context: Optional[jax.Array],
         bank_entries: Optional[Tuple[jax.Array, ...]] = None,
         collect: bool = False,
+        bank_mask: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
         b, h, w, c = x.shape
         residual = x
@@ -304,7 +308,8 @@ class SpatialTransformer(nn.Module):
                 head_dim=self.head_dim,
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(z, context, bank_entry=entry, collect=collect)
+            )(z, context, bank_entry=entry, collect=collect,
+              bank_mask=bank_mask)
             if collect:
                 written.append(w_i)
         z = z.reshape(b, h, w, -1)

@@ -158,3 +158,52 @@ class MagicPoseModel(nn.Module):
             deterministic=deterministic, dtype=dtype,
         )
         return out
+
+    def cfg_fused_eps(
+        self,
+        x_noisy: jax.Array,
+        timesteps: jax.Array,
+        context: jax.Array,
+        uncond_context: jax.Array,
+        *,
+        bank: Optional[Bank] = None,
+        pose_hint: Optional[jax.Array] = None,
+        num_frames: int = 1,
+    ) -> tuple[jax.Array, jax.Array]:
+        """Fused classifier-free guidance: cond and uncond run as ONE batched
+        UNet forward (batch 2B). Uncond rows carry bank_mask=0 (exactly plain
+        self-attention) and zero pose residuals — numerically identical to
+        the reference's two sequential passes in controlnet_important mode
+        (ddim.py:603-604) at better MXU utilization and half the dispatches.
+
+        Returns (eps_cond, eps_uncond), each (B, ...).
+        """
+        dtype = self._dtype()
+        B = x_noisy.shape[0]
+        xx = jnp.concatenate([x_noisy, x_noisy], axis=0)
+        tt = jnp.concatenate([timesteps, timesteps], axis=0)
+        cc = jnp.concatenate([
+            jnp.broadcast_to(context, (B,) + context.shape[1:]),
+            jnp.broadcast_to(uncond_context, (B,) + uncond_context.shape[1:]),
+        ], axis=0)
+        mask = jnp.concatenate([jnp.ones((B,), jnp.float32),
+                                jnp.zeros((B,), jnp.float32)])
+
+        pose_residuals = None
+        if self.cfg.has_pose and pose_hint is not None:
+            res = self.pose_control(x_noisy, pose_hint, timesteps, context,
+                                    dtype=dtype)
+            pose_residuals = tuple(
+                jnp.concatenate([r, jnp.zeros_like(r)], axis=0) for r in res
+            )
+
+        if bank is not None and self.cfg.has_appearance:
+            out, _ = self.unet(
+                xx, tt, cc, bank=bank, bank_mask=mask,
+                pose_residuals=pose_residuals, num_frames=num_frames,
+                dtype=dtype,
+            )
+        else:
+            out, _ = self.unet(xx, tt, cc, pose_residuals=pose_residuals,
+                               num_frames=num_frames, dtype=dtype)
+        return out[:B], out[B:]

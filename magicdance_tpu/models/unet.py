@@ -112,6 +112,7 @@ class UNet(nn.Module):
         num_frames: int = 1,
         deterministic: bool = True,
         dtype: jnp.dtype = jnp.bfloat16,
+        bank_mask: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Bank]:
         """Returns (eps_prediction, bank_written).
 
@@ -189,7 +190,7 @@ class UNet(nn.Module):
                         depth=cfg.transformer_depth, dtype=dtype,
                         name=f"enc_attn_{attn_i}",
                     )(h, context, take_bank(cfg.transformer_depth),
-                      collect_bank)
+                      collect_bank, bank_mask=bank_mask)
                     attn_i += 1
                     bank_written.extend(written)
                 h = motion(h, f"enc_motion_{mm_i}")
@@ -207,7 +208,8 @@ class UNet(nn.Module):
         h, written = ST(
             num_heads=cfg.num_heads, head_dim=mid_ch // cfg.num_heads,
             depth=cfg.transformer_depth, dtype=dtype, name="mid_attn",
-        )(h, context, take_bank(cfg.transformer_depth), collect_bank)
+        )(h, context, take_bank(cfg.transformer_depth), collect_bank,
+          bank_mask=bank_mask)
         bank_written.extend(written)
         h = RB(mid_ch, dropout=cfg.dropout, dtype=dtype, name="mid_res_1")(
             h, emb, deterministic=deterministic)
@@ -235,7 +237,7 @@ class UNet(nn.Module):
                         depth=cfg.transformer_depth, dtype=dtype,
                         name=f"dec_attn_{dattn_i}",
                     )(h, context, take_bank(cfg.transformer_depth),
-                      collect_bank)
+                      collect_bank, bank_mask=bank_mask)
                     dattn_i += 1
                     bank_written.extend(written)
                 h = motion(h, f"dec_motion_{dmm_i}")

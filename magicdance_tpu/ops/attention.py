@@ -108,6 +108,7 @@ def bank_read_attention(
     *,
     scale: Optional[float] = None,
     impl: str = "auto",
+    bank_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Self-attention whose K/V are the union of the layer's own sequence and
     the appearance bank sequence (ref: attention.py:301-313 "read" mode:
@@ -118,6 +119,9 @@ def bank_read_attention(
     B copies on the XLA path.
 
     q/k_self/v_self: (B, S, H, D); k_bank/v_bank: (Bb, Sb, H, D), Bb ∈ {1, B}.
+    bank_mask: optional (B,) float — rows with 0 ignore the bank entirely
+    (EXACTLY plain self-attention): the fused-CFG path batches cond (1.0)
+    and uncond (0.0) rows through one call.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -128,22 +132,27 @@ def bank_read_attention(
         from magicdance_tpu.ops.flash_attention import flash_attention_two_source
 
         return flash_attention_two_source(
-            q, k_self, v_self, k_bank, v_bank, scale=scale
+            q, k_self, v_self, k_bank, v_bank, scale=scale, bank_mask=bank_mask
         )
-    # XLA path: two logit blocks, one fused softmax over the concat axis.
+    # XLA path: two logit blocks, one joint softmax (bank terms gated).
     logits_s = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k_self, preferred_element_type=jnp.float32
-    )
+    ) * scale
     logits_b = jnp.einsum(
         "bqhd,Bkhd->bhqk" if k_bank.shape[0] == 1 else "bqhd,bkhd->bhqk",
         q,
         k_bank,
         preferred_element_type=jnp.float32,
+    ) * scale
+    m = jnp.maximum(
+        jnp.max(logits_s, axis=-1, keepdims=True),
+        jnp.max(logits_b, axis=-1, keepdims=True),
     )
-    logits = jnp.concatenate([logits_s, logits_b], axis=-1) * scale
-    probs = jax.nn.softmax(logits, axis=-1)
-    ns = k_self.shape[1]
-    p_s, p_b = probs[..., :ns], probs[..., ns:]
+    p_s = jnp.exp(logits_s - m)
+    p_b = jnp.exp(logits_b - m)
+    if bank_mask is not None:
+        p_b = p_b * bank_mask.astype(p_b.dtype)[:, None, None, None]
+    denom = p_s.sum(-1, keepdims=True) + p_b.sum(-1, keepdims=True)
     out = jnp.einsum(
         "bhqk,bkhd->bqhd", p_s.astype(v_self.dtype), v_self,
         preferred_element_type=jnp.float32,
@@ -154,4 +163,5 @@ def bank_read_attention(
         v_bank,
         preferred_element_type=jnp.float32,
     )
+    out = out / jnp.transpose(denom, (0, 2, 1, 3))
     return out.astype(q.dtype)

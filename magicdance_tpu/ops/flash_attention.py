@@ -40,11 +40,14 @@ def flash_attention(q, k, v, *, scale: float):
     return _xla_attention(q, k, v, scale)
 
 
-def flash_attention_two_source(q, k_self, v_self, k_bank, v_bank, *, scale: float):
+def flash_attention_two_source(q, k_self, v_self, k_bank, v_bank, *,
+                               scale: float, bank_mask=None):
     if _pallas_available():
         from magicdance_tpu.ops.pallas.flash import flash_attention_two_source as _fa2
 
-        return _fa2(q, k_self, v_self, k_bank, v_bank, scale=scale)
+        return _fa2(q, k_self, v_self, k_bank, v_bank, scale=scale,
+                    bank_mask=bank_mask)
     from magicdance_tpu.ops.attention import bank_read_attention
 
-    return bank_read_attention(q, k_self, v_self, k_bank, v_bank, scale=scale, impl="xla")
+    return bank_read_attention(q, k_self, v_self, k_bank, v_bank, scale=scale,
+                               impl="xla", bank_mask=bank_mask)

@@ -63,12 +63,18 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = (o / denom).astype(o_ref.dtype)
 
 
-def _attn2_kernel(q_ref, k_ref, v_ref, kb_ref, vb_ref, o_ref, *, scale: float):
+def _attn2_kernel(mask_ref, q_ref, k_ref, v_ref, kb_ref, vb_ref, o_ref, *,
+                  scale: float, num_heads: int):
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
     kb = kb_ref[0]
     vb = vb_ref[0]
+    # per-batch-row bank gate (fused-CFG: uncond rows ignore the bank and
+    # reduce EXACTLY to plain self-attention — the joint-max shift cancels).
+    # mask arrives via scalar prefetch, indexed by the batch row of this
+    # (batch*head) grid step.
+    gate = mask_ref[pl.program_id(0) // num_heads].astype(jnp.float32)
     l_self = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
@@ -80,7 +86,7 @@ def _attn2_kernel(q_ref, k_ref, v_ref, kb_ref, vb_ref, o_ref, *, scale: float):
         jnp.max(l_bank, axis=-1, keepdims=True),
     )
     p_self = jnp.exp(l_self - m)
-    p_bank = jnp.exp(l_bank - m)
+    p_bank = jnp.exp(l_bank - m) * gate
     denom = (
         jnp.sum(p_self, axis=-1, keepdims=True)
         + jnp.sum(p_bank, axis=-1, keepdims=True)
@@ -133,40 +139,51 @@ def flash_attention(q, k, v, *, scale: float):
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))
-def flash_attention_two_source(q, k_self, v_self, k_bank, v_bank, *, scale: float):
+def flash_attention_two_source(q, k_self, v_self, k_bank, v_bank, *,
+                               scale: float, bank_mask=None):
     """Bank-read attention; k_bank/v_bank batch ∈ {1, B} (broadcast via
-    index map, never materialized per-frame)."""
+    index map, never materialized per-frame). Optional bank_mask (B,) float:
+    rows with 0 ignore the bank entirely (exactly plain self-attention) —
+    the fused-CFG path batches cond and uncond rows in one call."""
     b, sq, h, d = q.shape
     sk = k_self.shape[1]
     sb = k_bank.shape[1]
     bb = k_bank.shape[0]
     qr, kr, vr = _to_bhsd(q), _to_bhsd(k_self), _to_bhsd(v_self)
     kbr, vbr = _to_bhsd(k_bank), _to_bhsd(v_bank)
+    if bank_mask is None:
+        bank_mask = jnp.ones((b,), jnp.float32)
+    mask1d = bank_mask.astype(jnp.float32)
     bq = min(_pick_bq(sk + sb, d, q.dtype.itemsize), sq)
     grid = (b * h, pl.cdiv(sq, bq))
 
+    # index maps receive the scalar-prefetch refs as trailing args
     if bb == 1:
-        bank_map = lambda bh, qi: (bh % h, 0, 0)
+        bank_map = lambda bh, qi, *_: (bh % h, 0, 0)
     else:
-        bank_map = lambda bh, qi: (bh, 0, 0)
+        bank_map = lambda bh, qi, *_: (bh, 0, 0)
 
-    out = pl.pallas_call(
-        functools.partial(_attn2_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct(qr.shape, q.dtype),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda bh, qi: (bh, qi, 0),
+            pl.BlockSpec((1, bq, d), lambda bh, qi, *_: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda bh, qi: (bh, 0, 0),
+            pl.BlockSpec((1, sk, d), lambda bh, qi, *_: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda bh, qi: (bh, 0, 0),
+            pl.BlockSpec((1, sk, d), lambda bh, qi, *_: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sb, d), bank_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sb, d), bank_map, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda bh, qi: (bh, qi, 0),
+        out_specs=pl.BlockSpec((1, bq, d), lambda bh, qi, *_: (bh, qi, 0),
                                memory_space=pltpu.VMEM),
-    )(qr, kr, vr, kbr, vbr)
+    )
+    out = pl.pallas_call(
+        functools.partial(_attn2_kernel, scale=scale, num_heads=h),
+        out_shape=jax.ShapeDtypeStruct(qr.shape, q.dtype),
+        grid_spec=grid_spec,
+    )(mask1d, qr, kr, vr, kbr, vbr)
     return _from_bhsd(out, b, h)
 
 

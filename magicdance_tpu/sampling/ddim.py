@@ -123,17 +123,28 @@ def ddim_sample(
                 method=model.compute_bank,
             )
 
-        eps_c = model.apply(
-            params, x, t, ctx,
-            bank=bank, pose_hint=pose_hint, num_frames=num_frames,
-        )
-        eps_c = to_eps(eps_c, x, t)
-        if use_cfg:
-            eps_u = model.apply(params, x, t, uctx, uc=True, num_frames=num_frames)
+        if use_cfg and scfg.fused_cfg:
+            eps_c, eps_u = model.apply(
+                params, x, t, ctx, uctx,
+                bank=bank, pose_hint=pose_hint, num_frames=num_frames,
+                method=model.cfg_fused_eps,
+            )
+            eps_c = to_eps(eps_c, x, t)
             eps_u = to_eps(eps_u, x, t)
             eps = eps_u + scfg.cfg_scale * (eps_c - eps_u)
         else:
-            eps = eps_c
+            eps_c = model.apply(
+                params, x, t, ctx,
+                bank=bank, pose_hint=pose_hint, num_frames=num_frames,
+            )
+            eps_c = to_eps(eps_c, x, t)
+            if use_cfg:
+                eps_u = model.apply(params, x, t, uctx, uc=True,
+                                    num_frames=num_frames)
+                eps_u = to_eps(eps_u, x, t)
+                eps = eps_u + scfg.cfg_scale * (eps_c - eps_u)
+            else:
+                eps = eps_c
 
         noise = (
             jax.random.normal(rng_sig, x.shape, dtype=x.dtype)

@@ -178,6 +178,12 @@ class Trainer:
             "vae": vae_params["params"],
             "clip": clip_params["params"],
         }
+        if self.cfg.optim.frozen_dtype == "bfloat16":
+            frozen = jax.tree.map(
+                lambda p: p.astype(jnp.bfloat16)
+                if p.dtype == jnp.float32 else p,
+                frozen,
+            )
         opt_state = self.tx.init(train)
         ema = jax.tree.map(jnp.copy, train) if self.cfg.optim.ema_rate > 0 else None
         return TrainState(

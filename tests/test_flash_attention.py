@@ -63,3 +63,42 @@ def test_flash_two_source_bank_broadcast():
         out = flash_attention_two_source(q, k, v, kb, vb, scale=scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_flash_two_source_bank_mask():
+    """Rows with mask 0 must equal PLAIN self-attention exactly."""
+    b, h, s, sb, d = 2, 2, 64, 32, 32
+    q = _rand((b, s, h, d), 0)
+    k = _rand((b, s, h, d), 1)
+    v = _rand((b, s, h, d), 2)
+    kb = _rand((1, sb, h, d), 3)
+    vb = _rand((1, sb, h, d), 4)
+    scale = d**-0.5
+    mask = jnp.array([1.0, 0.0])
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_two_source(q, k, v, kb, vb, scale=scale,
+                                         bank_mask=mask)
+    read = bank_read_attention(q, k, v, kb, vb, scale=scale, impl="xla")
+    plain = _xla_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(read[0]),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(plain[1]),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_xla_bank_mask_matches():
+    b, h, s, sb, d = 2, 2, 16, 8, 16
+    q = _rand((b, s, h, d), 0)
+    k = _rand((b, s, h, d), 1)
+    v = _rand((b, s, h, d), 2)
+    kb = _rand((b, sb, h, d), 3)
+    vb = _rand((b, sb, h, d), 4)
+    scale = d**-0.5
+    out = bank_read_attention(q, k, v, kb, vb, scale=scale, impl="xla",
+                              bank_mask=jnp.array([1.0, 0.0]))
+    read = bank_read_attention(q, k, v, kb, vb, scale=scale, impl="xla")
+    plain = _xla_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(read[0]),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(plain[1]),
+                               atol=2e-5, rtol=2e-5)

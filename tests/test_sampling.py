@@ -143,3 +143,28 @@ def test_dpmpp_sampler():
                           pose_hint=jnp.zeros((2, 64, 64, 3)))
     assert out.shape == (2, 8, 8, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fused_cfg_matches_separate_passes():
+    """cfg_fused_eps must be numerically identical to the two-pass scheme."""
+    cfg = tiny_cfg()
+    model, params = init_model(cfg, B=2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    t = jnp.array([500, 500])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 16))
+    uctx = jax.random.normal(jax.random.PRNGKey(3), (1, 5, 16))
+    ref = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 8, 4))
+    hint = jax.random.uniform(jax.random.PRNGKey(5), (2, 64, 64, 3))
+
+    bank = model.apply(params, ref, t[:1], ctx, method=model.compute_bank)
+    ctx2 = jnp.broadcast_to(ctx, (2, 5, 16))
+    uctx2 = jnp.broadcast_to(uctx, (2, 5, 16))
+    eps_c_ref = model.apply(params, x, t, ctx2, bank=bank, pose_hint=hint)
+    eps_u_ref = model.apply(params, x, t, uctx2, uc=True)
+
+    eps_c, eps_u = model.apply(params, x, t, ctx2, uctx2, bank=bank,
+                               pose_hint=hint, method=model.cfg_fused_eps)
+    np.testing.assert_allclose(np.asarray(eps_c), np.asarray(eps_c_ref),
+                               atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(eps_u), np.asarray(eps_u_ref),
+                               atol=3e-5, rtol=3e-5)
