@@ -94,3 +94,60 @@ def zero1_sharding(tree: Any, mesh: Mesh) -> Any:
 
 def replicated_like(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
+
+
+# ---------------------------------------------------------------------------
+# tensor parallelism
+# ---------------------------------------------------------------------------
+
+# param-path rules for sharding the UNet/control branches along a 'model'
+# axis: attention QKV + FF-in shard the OUTPUT feature dim (head-parallel),
+# attention out-proj + FF-out shard the INPUT dim (summed by psum XLA
+# inserts). Convs/norms/embeddings stay replicated — at SD1.5 widths the
+# matmul params dominate the sharded compute.
+_TP_COL = ("to_q", "to_k", "to_v", "q_proj", "k_proj", "v_proj", "fc1")
+_TP_ROW = ("to_out", "out_proj", "fc2")
+_TP_FF_COL = ("proj_in",)   # GEGLU FF input projection (inside 'ff')
+_TP_FF_ROW = ("proj_out",)  # GEGLU FF output projection (inside 'ff')
+
+
+def _tp_spec(path: tuple[str, ...], shape: tuple[int, ...], n: int) -> P:
+    if len(shape) != 2 or path[-1] != "kernel":
+        return P()
+    parent = path[-2] if len(path) >= 2 else ""
+    in_ff = len(path) >= 3 and path[-3] == "ff"
+    col = parent in _TP_COL or (in_ff and parent in _TP_FF_COL)
+    row = parent in _TP_ROW or (in_ff and parent in _TP_FF_ROW)
+    if col and shape[1] % n == 0:
+        return P(None, "model")
+    if row and shape[0] % n == 0:
+        return P("model", None)
+    return P()
+
+
+def tensor_parallel_shardings(params: Any, mesh: Mesh) -> Any:
+    """NamedShardings sharding attention/FF matmul weights along 'model'.
+
+    Megatron-style column/row parallelism expressed purely as parameter
+    shardings: pjit's sharding propagation partitions the matmuls and
+    inserts the psum on the row-parallel outputs — no model-code changes.
+    Biases of column-parallel layers shard with the output dim.
+    """
+    n = mesh.shape["model"]
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params)
+    out = {}
+    for path, leaf in flat.items():
+        spec = _tp_spec(path, tuple(leaf.shape), n)
+        if (
+            spec == P()
+            and path[-1] == "bias"
+            and len(path) >= 2
+            and (path[-2] in _TP_COL
+                 or (len(path) >= 3 and path[-3] == "ff" and path[-2] in _TP_FF_COL))
+            and leaf.shape[-1] % n == 0
+        ):
+            spec = P("model")
+        out[path] = NamedSharding(mesh, spec)
+    return traverse_util.unflatten_dict(out)
