@@ -127,6 +127,9 @@ def main(argv=None) -> None:
     start_step = 0
     if args.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(target=state)
+        # restored arrays are committed to a single device; re-place them
+        # onto the mesh with the ZeRO-1 layout the jitted step expects
+        state = jax.device_put(state, trainer.state_shardings(state))
         start_step = int(state.step)
         print(f"[train] resumed from step {start_step}")
 

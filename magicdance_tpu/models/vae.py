@@ -69,7 +69,12 @@ class VAEAttnBlock(nn.Module):
         # fp32 inside the kernel).
         from magicdance_tpu.ops.attention import dot_product_attention
 
-        adt = jnp.bfloat16 if self.dtype == jnp.float32 else self.dtype
+        # bf16 only where the Pallas path needs it (TPU); fp32 parity elsewhere
+        adt = (
+            jnp.bfloat16
+            if self.dtype == jnp.float32 and jax.default_backend() == "tpu"
+            else self.dtype
+        )
         q = q.reshape(b, h * w, 1, c).astype(adt)
         k = k.reshape(b, h * w, 1, c).astype(adt)
         v = v.reshape(b, h * w, 1, c).astype(adt)

@@ -210,3 +210,39 @@ def test_clip_conversion_parity():
         ref = hf(torch.from_numpy(ids)).last_hidden_state.numpy()
     out = model.apply(params, jnp.asarray(ids, dtype=jnp.int32))
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=2e-4)
+
+
+def test_vae_conversion_parity():
+    from magicdance_tpu.config import VAEConfig
+    from magicdance_tpu.convert.torch_convert import convert_vae
+    from magicdance_tpu.models.vae import AutoencoderKL
+
+    from torch_ref import TorchVAE
+
+    torch.manual_seed(5)
+    tvae = TorchVAE(base=32, mult=(1, 2), zc=4).eval()
+    sd = {f"first_stage_model.{k}": v.detach().numpy()
+          for k, v in tvae.state_dict().items()}
+    cfg = VAEConfig(base_channels=32, channel_mult=(1, 2), num_res_blocks=1)
+    params = {"params": jax.tree.map(jnp.asarray,
+                                     convert_vae(sd, "first_stage_model", cfg))}
+    vae = AutoencoderKL(cfg)
+
+    rng = np.random.RandomState(4)
+    x = rng.randn(1, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        moments_ref = tvae.encode_moments(
+            torch.from_numpy(x).permute(0, 3, 1, 2))
+    post = vae.apply(params, jnp.asarray(x), method=vae.encode)
+    mean_ref, logvar_ref = moments_ref.chunk(2, dim=1)
+    np.testing.assert_allclose(np.asarray(post.mean),
+                               mean_ref.permute(0, 2, 3, 1).numpy(),
+                               atol=3e-4, rtol=3e-4)
+
+    z = rng.randn(1, 16, 16, 4).astype(np.float32)
+    with torch.no_grad():
+        dec_ref = tvae.decode(torch.from_numpy(z).permute(0, 3, 1, 2))
+    dec = vae.apply(params, jnp.asarray(z), method=vae.decode)
+    np.testing.assert_allclose(np.asarray(dec),
+                               dec_ref.permute(0, 2, 3, 1).numpy(),
+                               atol=5e-4, rtol=5e-4)

@@ -357,3 +357,168 @@ class TorchControlNet(nn.Module):
         h = self.middle_block[2](h, emb)
         outs.append(self.middle_block_out(h))
         return outs
+
+
+# ---------------------------------------------------------------------------
+# VAE oracle ('first_stage_model.*' key layout)
+# ---------------------------------------------------------------------------
+
+
+class VAEResnetBlock(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.norm1 = nn.GroupNorm(32 if cin % 32 == 0 else math.gcd(cin, 32),
+                                  cin, eps=1e-6)
+        self.conv1 = nn.Conv2d(cin, cout, 3, padding=1)
+        self.norm2 = nn.GroupNorm(32 if cout % 32 == 0 else math.gcd(cout, 32),
+                                  cout, eps=1e-6)
+        self.conv2 = nn.Conv2d(cout, cout, 3, padding=1)
+        if cin != cout:
+            self.nin_shortcut = nn.Conv2d(cin, cout, 1)
+
+    def forward(self, x):
+        h = self.conv1(F.silu(self.norm1(x)))
+        h = self.conv2(F.silu(self.norm2(h)))
+        if hasattr(self, "nin_shortcut"):
+            x = self.nin_shortcut(x)
+        return x + h
+
+
+class VAEAttn(nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.norm = nn.GroupNorm(32 if c % 32 == 0 else math.gcd(c, 32), c,
+                                 eps=1e-6)
+        self.q = nn.Conv2d(c, c, 1)
+        self.k = nn.Conv2d(c, c, 1)
+        self.v = nn.Conv2d(c, c, 1)
+        self.proj_out = nn.Conv2d(c, c, 1)
+
+    def forward(self, x):
+        b, c, h, w = x.shape
+        z = self.norm(x)
+        q = self.q(z).reshape(b, c, h * w).permute(0, 2, 1)
+        k = self.k(z).reshape(b, c, h * w)
+        v = self.v(z).reshape(b, c, h * w)
+        attn = torch.softmax(torch.bmm(q, k) * (c ** -0.5), dim=-1)
+        out = torch.bmm(v, attn.permute(0, 2, 1)).reshape(b, c, h, w)
+        return x + self.proj_out(out)
+
+
+class _Mid(nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.block_1 = VAEResnetBlock(c, c)
+        self.attn_1 = VAEAttn(c)
+        self.block_2 = VAEResnetBlock(c, c)
+
+    def forward(self, x):
+        return self.block_2(self.attn_1(self.block_1(x)))
+
+
+class _Down(nn.Module):
+    def __init__(self, cin, cout, downsample):
+        super().__init__()
+        self.block = nn.ModuleList([VAEResnetBlock(cin, cout)])
+        if downsample:
+            self.downsample = _DownsampleV(cout)
+
+
+class _DownsampleV(nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.conv = nn.Conv2d(c, c, 3, stride=2, padding=0)
+
+    def forward(self, x):
+        return self.conv(F.pad(x, (0, 1, 0, 1)))
+
+
+class _Up(nn.Module):
+    def __init__(self, cin, cout, n_blocks, upsample):
+        super().__init__()
+        blocks = []
+        c = cin
+        for _ in range(n_blocks):
+            blocks.append(VAEResnetBlock(c, cout))
+            c = cout
+        self.block = nn.ModuleList(blocks)
+        if upsample:
+            self.upsample = _UpsampleV(cout)
+
+
+class _UpsampleV(nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.conv = nn.Conv2d(c, c, 3, padding=1)
+
+    def forward(self, x):
+        return self.conv(F.interpolate(x, scale_factor=2, mode="nearest"))
+
+
+class TorchVAE(nn.Module):
+    """Key-compatible mini AutoencoderKL (num_res_blocks=1 variant)."""
+
+    def __init__(self, base=32, mult=(1, 2), zc=4):
+        super().__init__()
+        levels = len(mult)
+
+        class Enc(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv_in = nn.Conv2d(3, base, 3, padding=1)
+                downs = []
+                cin = base
+                for i, m in enumerate(mult):
+                    cout = base * m
+                    downs.append(_Down(cin, cout, downsample=i < levels - 1))
+                    cin = cout
+                self.down = nn.ModuleList(downs)
+                self.mid = _Mid(cin)
+                self.norm_out = nn.GroupNorm(32, cin, eps=1e-6)
+                self.conv_out = nn.Conv2d(cin, 2 * zc, 3, padding=1)
+
+            def forward(self, x):
+                h = self.conv_in(x)
+                for d in self.down:
+                    for b in d.block:
+                        h = b(h)
+                    if hasattr(d, "downsample"):
+                        h = d.downsample(h)
+                h = self.mid(h)
+                return self.conv_out(F.silu(self.norm_out(h)))
+
+        class Dec(nn.Module):
+            def __init__(self):
+                super().__init__()
+                ctop = base * mult[-1]
+                self.conv_in = nn.Conv2d(zc, ctop, 3, padding=1)
+                self.mid = _Mid(ctop)
+                ups = [None] * levels
+                cin = ctop
+                for i in reversed(range(levels)):
+                    cout = base * mult[i]
+                    ups[i] = _Up(cin, cout, n_blocks=2, upsample=i != 0)
+                    cin = cout
+                self.up = nn.ModuleList(ups)
+                self.norm_out = nn.GroupNorm(32, cin, eps=1e-6)
+                self.conv_out = nn.Conv2d(cin, 3, 3, padding=1)
+
+            def forward(self, z):
+                h = self.mid(self.conv_in(z))
+                for i in reversed(range(levels)):
+                    for b in self.up[i].block:
+                        h = b(h)
+                    if hasattr(self.up[i], "upsample"):
+                        h = self.up[i].upsample(h)
+                return self.conv_out(F.silu(self.norm_out(h)))
+
+        self.encoder = Enc()
+        self.decoder = Dec()
+        self.quant_conv = nn.Conv2d(2 * zc, 2 * zc, 1)
+        self.post_quant_conv = nn.Conv2d(zc, zc, 1)
+
+    def encode_moments(self, x):
+        return self.quant_conv(self.encoder(x))
+
+    def decode(self, z):
+        return self.decoder(self.post_quant_conv(z))
