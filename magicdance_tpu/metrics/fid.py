@@ -33,7 +33,15 @@ def _load_extractor(weights_path: str):
         return ("torchscript", m)
     except Exception:
         pass
-    from torchvision.models import inception_v3
+    try:
+        from torchvision.models import inception_v3
+    except ImportError as e:
+        raise ValueError(
+            f"{weights_path} is not a TorchScript file and torchvision is "
+            "not installed; supply the clean-fid TorchScript InceptionV3 "
+            "(pt_inception-2015-12-05.pt) or a torchvision state dict with "
+            "torchvision available"
+        ) from e
 
     m = inception_v3(weights=None, aux_logits=True, init_weights=False)
     sd = torch.load(weights_path, map_location="cpu")
@@ -48,7 +56,33 @@ def _load_extractor(weights_path: str):
 def folder_features(
     folder: str, weights_path: str, batch: int = 32, size: int = 299
 ) -> np.ndarray:
-    """Pool3/2048-dim features for every image in a folder."""
+    """Pool3/2048-dim features for every image in a folder.
+
+    A torchvision-layout state dict runs through the Flax InceptionV3 on the
+    default JAX backend (TPU when available); TorchScript files (clean-fid)
+    run via torch CPU."""
+    try:
+        from magicdance_tpu.metrics.inception_flax import FlaxInceptionExtractor
+
+        extractor = FlaxInceptionExtractor(weights_path)
+        files = sorted(
+            f for f in os.listdir(folder)
+            if f.lower().endswith((".png", ".jpg", ".jpeg"))
+        )
+        feats = []
+        for i in range(0, len(files), batch):
+            imgs = []
+            for f in files[i : i + batch]:
+                img = Image.open(os.path.join(folder, f)).convert("RGB")
+                imgs.append(np.asarray(img.resize((size, size), Image.BICUBIC),
+                                       np.float32) / 255.0)
+            pool, _ = extractor(np.stack(imgs))
+            feats.append(pool)
+        return (np.concatenate(feats) if feats
+                else np.zeros((0, 2048), np.float32))
+    except (KeyError, ValueError):
+        pass  # not a torchvision-layout state dict -> torch path
+
     import torch
 
     kind, model = _load_extractor(weights_path)

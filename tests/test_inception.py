@@ -1,0 +1,58 @@
+"""Flax InceptionV3: synthetic torchvision-layout state dict converts and
+matches the module structure; forward produces (2048,) features."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from magicdance_tpu.metrics.inception_flax import (
+    InceptionV3,
+    convert_inception_torchvision,
+)
+
+
+def synth_torchvision_sd(flax_params):
+    """Generate a torchvision-layout state dict whose conv shapes mirror the
+    flax init (inverse of the BN-folding converter, with identity BN)."""
+    from flax import traverse_util
+
+    rs = np.random.RandomState(0)
+    sd = {}
+    flat = traverse_util.flatten_dict(flax_params)
+    for path, leaf in flat.items():
+        name = ".".join(path[:-1])
+        if path[-1] == "kernel" and name != "fc":
+            h, w, cin, cout = leaf.shape
+            sd[f"{name}.conv.weight"] = rs.randn(cout, cin, h, w).astype(np.float32) * 0.02
+            sd[f"{name}.bn.weight"] = np.ones(cout, np.float32)
+            sd[f"{name}.bn.bias"] = rs.randn(cout).astype(np.float32) * 0.01
+            sd[f"{name}.bn.running_mean"] = np.zeros(cout, np.float32)
+            sd[f"{name}.bn.running_var"] = np.ones(cout, np.float32) - 1e-3
+    sd["fc.weight"] = rs.randn(1000, 2048).astype(np.float32) * 0.01
+    sd["fc.bias"] = np.zeros(1000, np.float32)
+    return sd
+
+
+def test_inception_structure_and_forward():
+    model = InceptionV3()
+    init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+    sd = synth_torchvision_sd(init["params"])
+    params = {"params": jax.tree.map(jnp.asarray,
+                                     convert_inception_torchvision(sd))}
+    from flax import traverse_util
+
+    a = {k: v.shape for k, v in traverse_util.flatten_dict(init["params"]).items()}
+    b = {k: v.shape for k, v in traverse_util.flatten_dict(params["params"]).items()}
+    assert a == b, (set(a) ^ set(b), )
+
+    pool, logits = model.apply(params, jnp.zeros((1, 299, 299, 3)))
+    assert pool.shape == (1, 2048)
+    assert logits.shape == (1, 1000)
+    assert np.isfinite(np.asarray(pool)).all()
+
+    # identity-BN fold: kernel equals transposed conv weight exactly
+    k = np.asarray(params["params"]["Conv2d_1a_3x3"]["kernel"])
+    ref = np.transpose(sd["Conv2d_1a_3x3.conv.weight"], (2, 3, 1, 0))
+    np.testing.assert_allclose(k, ref, rtol=1e-3)
