@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 
-FRAMES = int(__import__("os").environ.get("BENCH_FRAMES", "8"))
+FRAMES = int(__import__("os").environ.get("BENCH_FRAMES", "32"))
 STEPS = int(__import__("os").environ.get("BENCH_STEPS", "50"))
 SIZE = int(__import__("os").environ.get("BENCH_SIZE", "512"))
 TARGET_FPS = 8.0

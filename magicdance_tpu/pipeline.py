@@ -200,6 +200,7 @@ class MagicPosePipeline:
 
         ddim = make_ddim_schedule(self.sched, scfg.steps, eta=scfg.eta)
         video = video and cfg.has_temporal
+        decode_chunk = 8
         key = (scfg.steps, scfg.cfg_scale, scfg.eta, scfg.wonoise, F, latent,
                pose_maps is not None, ref_latent is not None, decode, video,
                scfg.window, scfg.stride)
@@ -222,11 +223,21 @@ class MagicPosePipeline:
                         parameterization=cfg.diffusion.parameterization,
                     )
                 if decode:
-                    return self.vae.apply(
-                        params["vae"],
-                        latent_to_decoder_input(lat, cfg.vae.scale_factor),
-                        method=self.vae.decode,
-                    )
+                    z = latent_to_decoder_input(lat, cfg.vae.scale_factor)
+                    # decode in fixed-size chunks: a full-batch 512^2 decode
+                    # dominates HBM (hundreds of MB of activations per frame)
+                    # and caps the denoising batch size otherwise
+                    ck = decode_chunk
+                    if z.shape[0] % ck == 0 and z.shape[0] > ck:
+                        zc = z.reshape((z.shape[0] // ck, ck) + z.shape[1:])
+                        imgs = jax.lax.map(
+                            lambda zz: self.vae.apply(
+                                params["vae"], zz, method=self.vae.decode),
+                            zc,
+                        )
+                        return imgs.reshape((-1,) + imgs.shape[2:])
+                    return self.vae.apply(params["vae"], z,
+                                          method=self.vae.decode)
                 return lat
 
             self._jit_sample[key] = jax.jit(run)
