@@ -21,6 +21,8 @@ import numpy as np
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--model_config", default=None,
+                   help="ModelConfig JSON (defaults to full SD1.5-scale MagicPose)")
     p.add_argument("--data", required=True, help="TikTok-v4 root")
     p.add_argument("--output", required=True)
     p.add_argument("--steps", type=int, default=50)
@@ -41,7 +43,12 @@ def main(argv=None) -> None:
     from magicdance_tpu.data.transforms import from_model_range
     from magicdance_tpu.pipeline import MagicPosePipeline
 
-    cfg = ModelConfig()
+    if args.model_config:
+        from magicdance_tpu import config as C
+
+        cfg = C.load_json(args.model_config, C.ModelConfig)
+    else:
+        cfg = ModelConfig()
     pipe = MagicPosePipeline(cfg)
     if args.checkpoint:
         from magicdance_tpu.convert.torch_convert import (

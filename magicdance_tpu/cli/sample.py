@@ -27,6 +27,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default=None,
                    help=".th/.ckpt reference checkpoint (converted on load); "
                         "omit for random weights (smoke tests)")
+    p.add_argument("--model_config", default=None,
+                   help="ModelConfig JSON (defaults to full SD1.5-scale MagicPose)")
     p.add_argument("--reference", required=True, help="reference image path")
     p.add_argument("--pose_dir", required=True, help="folder of pose maps")
     p.add_argument("--output", required=True)
@@ -65,7 +67,12 @@ def main(argv=None) -> None:
     )
     from magicdance_tpu.pipeline import MagicPosePipeline
 
-    cfg = ModelConfig()
+    if args.model_config:
+        from magicdance_tpu import config as C
+
+        cfg = C.load_json(args.model_config, C.ModelConfig)
+    else:
+        cfg = ModelConfig()
     pipe = MagicPosePipeline(cfg, tokenizer=CLIPTokenizer(args.merges))
     if args.checkpoint:
         from magicdance_tpu.convert.torch_convert import (
