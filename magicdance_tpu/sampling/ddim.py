@@ -139,8 +139,18 @@ def ddim_sample(
             )
             eps_c = to_eps(eps_c, x, t)
             if use_cfg:
-                eps_u = model.apply(params, x, t, uctx, uc=True,
-                                    num_frames=num_frames)
+                if scfg.control_mode == "balance":
+                    # "balance": the uncond pass keeps BOTH control branches
+                    # and only swaps the text conditioning (the reference's
+                    # joint-batch mode, ddim.py:540-567); CFG then steers text
+                    # alone, not the controls
+                    eps_u = model.apply(
+                        params, x, t, uctx,
+                        bank=bank, pose_hint=pose_hint, num_frames=num_frames,
+                    )
+                else:  # "controlnet_important": vanilla SD uncond
+                    eps_u = model.apply(params, x, t, uctx, uc=True,
+                                        num_frames=num_frames)
                 eps_u = to_eps(eps_u, x, t)
                 eps = eps_u + scfg.cfg_scale * (eps_c - eps_u)
             else:

@@ -168,3 +168,34 @@ def test_fused_cfg_matches_separate_passes():
                                atol=3e-5, rtol=3e-5)
     np.testing.assert_allclose(np.asarray(eps_u), np.asarray(eps_u_ref),
                                atol=3e-5, rtol=3e-5)
+
+
+def test_balance_control_mode():
+    """'balance' CFG: uncond keeps the control branches (ref ddim.py:540-567);
+    with identical cond/uncond text the guidance term cancels exactly."""
+    cfg = tiny_cfg()
+    model, params = init_model(cfg, B=1)
+    sched = make_schedule(cfg.diffusion)
+    ddim = make_ddim_schedule(sched, 2)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 16))
+    ref = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 4))
+    hint = jax.random.uniform(jax.random.PRNGKey(4), (1, 64, 64, 3))
+
+    bal = SampleConfig(steps=2, cfg_scale=7.0, control_mode="balance")
+    out_bal = ddim_sample(model, params, sched, ddim, bal,
+                          jax.random.PRNGKey(5), x_T, ctx, ctx,
+                          reference_latent=ref, pose_hint=hint)
+    nocfg = SampleConfig(steps=2, cfg_scale=1.0)
+    out_plain = ddim_sample(model, params, sched, ddim, nocfg,
+                            jax.random.PRNGKey(5), x_T, ctx, ctx,
+                            reference_latent=ref, pose_hint=hint)
+    # same text on both passes => balance-CFG collapses to the cond pass
+    np.testing.assert_allclose(np.asarray(out_bal), np.asarray(out_plain),
+                               atol=1e-4, rtol=1e-4)
+    # while controlnet_important differs (uncond drops the controls)
+    imp = SampleConfig(steps=2, cfg_scale=7.0)
+    out_imp = ddim_sample(model, params, sched, ddim, imp,
+                          jax.random.PRNGKey(5), x_T, ctx, ctx,
+                          reference_latent=ref, pose_hint=hint)
+    assert not np.allclose(np.asarray(out_imp), np.asarray(out_bal), atol=1e-3)
