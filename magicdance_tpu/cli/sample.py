@@ -43,6 +43,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    "matching the reference recipe)")
     p.add_argument("--merges", default=None, help="CLIP BPE merges file "
                    "(needed only for non-empty prompts)")
+    p.add_argument("--video", action="store_true",
+                   help="temporal model variant: motion modules + overlap "
+                        "sampling over --window/--stride frame windows")
+    p.add_argument("--window", type=int, default=16)
+    p.add_argument("--stride", type=int, default=12)
     p.add_argument("--gif", action="store_true")
     p.add_argument("--mp4", action="store_true")
     p.add_argument("--no_pose_noise", dest="wonoise", action="store_true",
@@ -71,6 +76,13 @@ def main(argv=None) -> None:
         from magicdance_tpu import config as C
 
         cfg = C.load_json(args.model_config, C.ModelConfig)
+    elif args.video:
+        import dataclasses
+
+        from magicdance_tpu.config import ModelVariant, UNetConfig
+
+        cfg = ModelConfig(variant=ModelVariant.APPEARANCE_POSE_TEMPORAL,
+                          unet=UNetConfig(use_motion_modules=True))
     else:
         cfg = ModelConfig()
     pipe = MagicPosePipeline(cfg, tokenizer=CLIPTokenizer(args.merges))
@@ -107,7 +119,8 @@ def main(argv=None) -> None:
     ])
 
     scfg = SampleConfig(steps=args.steps, cfg_scale=args.cfg, eta=args.eta,
-                        wonoise=args.wonoise)
+                        wonoise=args.wonoise, window=args.window,
+                        stride=args.stride)
     os.makedirs(args.output, exist_ok=True)
     rng = jax.random.PRNGKey(args.seed)
 
@@ -120,7 +133,8 @@ def main(argv=None) -> None:
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
         else:
             pad = 0
-        imgs = pipe.sample_frames(rng, jnp.asarray(chunk), jnp.asarray(ref), scfg)
+        imgs = pipe.sample_frames(rng, jnp.asarray(chunk), jnp.asarray(ref),
+                                  scfg, video=args.video)
         imgs = np.asarray(imgs)
         if pad:
             imgs = imgs[:-pad]

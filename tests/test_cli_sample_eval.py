@@ -83,3 +83,33 @@ def test_cli_eval_smoke(tmp_path):
     res = get_all_eval_scores(str(out), ["l1", "ssim", "psnr"])
     assert res["num_images"] == 3
     assert 0 <= res["ssim"] <= 1
+
+
+def test_cli_sample_video_mode(tmp_path):
+    """--video routes through the temporal variant + overlap sampling."""
+    from magicdance_tpu.cli.sample import main
+
+    rs = np.random.RandomState(0)
+    ref = tmp_path / "ref.png"
+    Image.fromarray(rs.randint(0, 255, (40, 30, 3)).astype(np.uint8)).save(ref)
+    pose_dir = tmp_path / "poses"
+    pose_dir.mkdir()
+    for i in range(6):
+        Image.fromarray(rs.randint(0, 255, (40, 30, 3)).astype(np.uint8)).save(
+            pose_dir / f"{i:03d}.png")
+    cfg_path = tmp_path / "model.json"
+    tiny_model_json(cfg_path)
+    # enable motion modules in the tiny config
+    cfg = json.load(open(cfg_path))
+    cfg["variant"] = "appearance_pose_temporal"
+    cfg["unet"]["use_motion_modules"] = True
+    cfg["unet"]["motion_num_heads"] = 2
+    json.dump(cfg, open(cfg_path, "w"))
+    out = tmp_path / "out"
+
+    main(["--model_config", str(cfg_path), "--reference", str(ref),
+          "--pose_dir", str(pose_dir), "--output", str(out),
+          "--steps", "2", "--size", "32", "--video",
+          "--window", "4", "--stride", "3"])
+    frames = [f for f in os.listdir(out) if f.endswith(".png")]
+    assert len(frames) == 6
