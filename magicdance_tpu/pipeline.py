@@ -46,6 +46,25 @@ class MagicPosePipeline:
         self.tokenizer = tokenizer or CLIPTokenizer()
         self.params = params  # {"model": .., "vae": .., "clip": ..}
         self._jit_sample = {}
+        # standalone jitted encoder/decoder entry points (jax.jit caches per
+        # shape): without these each eager `module.apply` dispatches hundreds
+        # of single ops — measured 85% device idle through the axon relay
+        self._jit_encode_text = jax.jit(
+            lambda params, ids: self.clip.apply(params["clip"], ids)
+        )
+        self._jit_encode_ref = jax.jit(
+            lambda params, img: encode_to_latent(
+                self.vae.apply(params["vae"], img, method=self.vae.encode).mode(),
+                self.cfg.vae.scale_factor,
+            )
+        )
+        self._jit_decode = jax.jit(
+            lambda params, lat: self.vae.apply(
+                params["vae"],
+                latent_to_decoder_input(lat, self.cfg.vae.scale_factor),
+                method=self.vae.decode,
+            )
+        )
 
     # -- initialization ----------------------------------------------------
     def init_params(self, rng: jax.Array, image_size: int = 512) -> dict:
@@ -132,25 +151,22 @@ class MagicPosePipeline:
     # -- encoders ----------------------------------------------------------
     def encode_text(self, prompts: list[str]) -> jax.Array:
         ids = jnp.asarray(self.tokenizer(prompts, self.cfg.clip.max_length))
-        return self.clip.apply(self.params["clip"], ids)
+        return self._jit_encode_text(self.params, ids)
 
     def encode_empty(self, batch: int = 1) -> jax.Array:
         ids = jnp.asarray(empty_prompt_ids(batch, self.cfg.clip.max_length))
-        return self.clip.apply(self.params["clip"], ids)
+        return self._jit_encode_text(self.params, ids)
 
     def encode_reference(self, image: jax.Array, rng=None) -> jax.Array:
         """image: (1, H, W, 3) in [-1, 1] → scaled latent (1, H/8, W/8, 4).
         Uses the posterior mode (deterministic, eval semantics)."""
+        if rng is None:
+            return self._jit_encode_ref(self.params, image)
         post = self.vae.apply(self.params["vae"], image, method=self.vae.encode)
-        z = post.mode() if rng is None else post.sample(rng)
-        return encode_to_latent(z, self.cfg.vae.scale_factor)
+        return encode_to_latent(post.sample(rng), self.cfg.vae.scale_factor)
 
     def decode_latents(self, latents: jax.Array) -> jax.Array:
-        return self.vae.apply(
-            self.params["vae"],
-            latent_to_decoder_input(latents, self.cfg.vae.scale_factor),
-            method=self.vae.decode,
-        )
+        return self._jit_decode(self.params, latents)
 
     # -- sampling ----------------------------------------------------------
     def sample_frames(
@@ -180,32 +196,42 @@ class MagicPosePipeline:
             F, H = 1, cfg.latent_size * 8
         latent = H // 8
 
-        ctx = (
-            self.encode_text(prompts) if prompts else self.encode_empty(1)
-        ).astype(jnp.float32)
-        uncond_ctx = self.encode_empty(1).astype(jnp.float32)
+        # host side: tokenize only; everything else (CLIP, VAE reference
+        # encode, noise draw, the DDIM scan, decode) is ONE compiled program —
+        # a single device dispatch per sample call
+        ids = jnp.asarray(
+            self.tokenizer(prompts, self.cfg.clip.max_length) if prompts
+            else empty_prompt_ids(1, self.cfg.clip.max_length)
+        )
+        uncond_ids = jnp.asarray(empty_prompt_ids(1, self.cfg.clip.max_length))
 
-        ref_latent = None
-        if reference_image is not None and cfg.has_appearance:
-            ref_latent = self.encode_reference(reference_image)
-
-        rng_noise, rng_samp = jax.random.split(rng)
-        if scfg.shared_noise:
-            x_T = jnp.broadcast_to(
-                jax.random.normal(rng_noise, (1, latent, latent, 4)),
-                (F, latent, latent, 4),
-            )
-        else:
-            x_T = jax.random.normal(rng_noise, (F, latent, latent, 4))
-
+        use_ref = reference_image is not None and cfg.has_appearance
         ddim = make_ddim_schedule(self.sched, scfg.steps, eta=scfg.eta)
         video = video and cfg.has_temporal
         decode_chunk = 8
-        key = (scfg.steps, scfg.cfg_scale, scfg.eta, scfg.wonoise, F, latent,
-               pose_maps is not None, ref_latent is not None, decode, video,
-               scfg.window, scfg.stride)
+        key = (scfg.steps, scfg.cfg_scale, scfg.eta, scfg.wonoise,
+               scfg.shared_noise, F, latent, pose_maps is not None, use_ref,
+               decode, video, scfg.window, scfg.stride)
         if key not in self._jit_sample:
-            def run(params, x_T, ctx, uctx, ref_latent, pose_maps, rng):
+            def run(params, ids, uids, ref_image, pose_maps, rng):
+                ctx = self.clip.apply(params["clip"], ids).astype(jnp.float32)
+                uctx = self.clip.apply(params["clip"], uids).astype(jnp.float32)
+                ref_latent = None
+                if use_ref:
+                    post = self.vae.apply(
+                        params["vae"], ref_image, method=self.vae.encode
+                    )
+                    ref_latent = encode_to_latent(
+                        post.mode(), cfg.vae.scale_factor
+                    )
+                rng_noise, rng = jax.random.split(rng)
+                if scfg.shared_noise:
+                    x_T = jnp.broadcast_to(
+                        jax.random.normal(rng_noise, (1, latent, latent, 4)),
+                        (F, latent, latent, 4),
+                    )
+                else:
+                    x_T = jax.random.normal(rng_noise, (F, latent, latent, 4))
                 if video:
                     from magicdance_tpu.sampling.overlap import ddim_sample_video
 
@@ -242,5 +268,6 @@ class MagicPosePipeline:
 
             self._jit_sample[key] = jax.jit(run)
         return self._jit_sample[key](
-            self.params, x_T, ctx, uncond_ctx, ref_latent, pose_maps, rng_samp
+            self.params, ids, uncond_ids,
+            reference_image if use_ref else None, pose_maps, rng,
         )
