@@ -121,32 +121,34 @@ class MagicPosePipeline:
             "vae": jax.eval_shape(lambda i_: self.vae.init(k, i_, k), img),
             "clip": jax.eval_shape(lambda i_: self.clip.init(k, i_), ids),
         }
-        import numpy as np
-
+        # materialize ALL leaves in ONE compiled program — per-leaf eager
+        # creation is thousands of device dispatches (measured ~87 s through
+        # the axon relay at SD1.5 scale)
         if zeros:
-            self.params = jax.tree.map(
-                lambda s: jnp.zeros(s.shape, s.dtype), shapes
-            )
+            self.params = jax.jit(
+                lambda: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+            )()
             return self.params
 
         rs = np.random.RandomState(int(jax.random.randint(rng, (), 0, 2**31 - 1)))
 
         def leaf(s):
             if s.dtype == jnp.float32:
-                return jnp.asarray(
-                    rs.standard_normal(s.shape).astype(np.float32) * scale
-                )
-            return jnp.zeros(s.shape, s.dtype)
+                return rs.standard_normal(s.shape).astype(np.float32) * scale
+            return np.zeros(s.shape, s.dtype)
 
-        self.params = jax.tree.map(leaf, shapes)
+        # host-generate, then ONE device_put of the whole tree (per-leaf
+        # jnp.asarray is a dispatch per leaf)
+        self.params = jax.device_put(jax.tree.map(leaf, shapes))
         return self.params
 
     def cast_model_params(self, dtype=jnp.bfloat16) -> None:
         """Cast denoiser params for serving (VAE/CLIP stay f32)."""
-        self.params["model"] = jax.tree.map(
-            lambda p: p.astype(dtype) if p.dtype == jnp.float32 else p,
-            self.params["model"],
-        )
+        self.params["model"] = jax.jit(
+            lambda t: jax.tree.map(
+                lambda p: p.astype(dtype) if p.dtype == jnp.float32 else p, t
+            )
+        )(self.params["model"])
 
     # -- encoders ----------------------------------------------------------
     def encode_text(self, prompts: list[str]) -> jax.Array:
