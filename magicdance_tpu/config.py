@@ -188,6 +188,18 @@ class SampleConfig:
     # which outweighs the batching gain (measured 0.44 vs 0.49 f/s); it does
     # cut sampler compile time ~40%.
     fused_cfg: bool = False
+    # ---- opt-in turbo modes (NOT reference-parity; defaults are exact) ----
+    # cfg_interval=(lo, hi): apply classifier-free guidance only while the
+    # trajectory progress t/T is inside [lo, hi); outside, the uncond UNet
+    # forward is skipped entirely (lax.cond) and eps = eps_cond. Guidance
+    # near t≈0 mostly burns compute and guidance at t≈T can oversaturate
+    # ("Applying Guidance in a Limited Interval", Kynkäänniemi et al. 2024).
+    cfg_interval: Optional[tuple[float, float]] = None
+    # uncond_every=k (k>1): refresh the uncond eps every k-th CFG-active
+    # step and reuse the cached value in between (the uncond trajectory is
+    # smooth in t — "Faster Diffusion"-style reuse applied to the CFG pass).
+    # Cuts ~(1-1/k) of all vanilla-SD uncond forwards.
+    uncond_every: int = 1
 
 
 class FreezeRegime(str, enum.Enum):

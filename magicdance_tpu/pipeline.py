@@ -213,7 +213,8 @@ class MagicPosePipeline:
         decode_chunk = 8
         key = (scfg.steps, scfg.cfg_scale, scfg.eta, scfg.wonoise,
                scfg.shared_noise, F, latent, pose_maps is not None, use_ref,
-               decode, video, scfg.window, scfg.stride)
+               decode, video, scfg.window, scfg.stride, scfg.fused_cfg,
+               scfg.control_mode, scfg.cfg_interval, scfg.uncond_every)
         if key not in self._jit_sample:
             def run(params, ids, uids, ref_image, pose_maps, rng):
                 ctx = self.clip.apply(params["clip"], ids).astype(jnp.float32)

@@ -81,6 +81,13 @@ def ddim_sample(
     B = x_T.shape[0]
     S = ddim.num_steps
     use_cfg = scfg.cfg_scale != 1.0 and uncond_context is not None
+    # opt-in turbo CFG (SampleConfig.cfg_interval / uncond_every): the
+    # default path below stays byte-identical to the reference recipe
+    turbo = (
+        use_cfg
+        and not scfg.fused_cfg
+        and (scfg.cfg_interval is not None or scfg.uncond_every > 1)
+    )
 
     def tile_ctx(c):
         if c is None:
@@ -169,5 +176,97 @@ def ddim_sample(
         )
         return (x_prev, step_rng), None
 
-    (x0, _), _ = jax.lax.scan(body, (x_T, rng), jnp.arange(S))
+    if not turbo:
+        (x0, _), _ = jax.lax.scan(body, (x_T, rng), jnp.arange(S))
+        return x0
+
+    # ---- turbo CFG scan ---------------------------------------------------
+    # Per-step masks are computed on the HOST (static schedule arrays), so
+    # the compiled program gates the uncond forward with lax.cond — the
+    # skipped branch costs nothing at runtime on TPU.
+    import numpy as np
+
+    ts = np.asarray(ddim.timesteps, dtype=np.float64)
+    frac = ts / float(sched.num_timesteps)
+    lo, hi = scfg.cfg_interval if scfg.cfg_interval is not None else (0.0, 1.0)
+    active_np = (frac >= lo) & (frac <= hi)
+    refresh_np = np.zeros(S, dtype=bool)
+    n_active = 0
+    for i_exec in range(S):  # scan order: descending t
+        step_exec = S - 1 - i_exec
+        if active_np[step_exec]:
+            if n_active % max(scfg.uncond_every, 1) == 0:
+                refresh_np[step_exec] = True
+            n_active += 1
+    active_arr = jnp.asarray(active_np)
+    refresh_arr = jnp.asarray(refresh_np)
+
+    def body_turbo(carry, i):
+        x, step_rng, eps_u_prev = carry
+        step = S - 1 - i
+        t_scalar = ddim.timesteps[step]
+        t = jnp.full((B,), t_scalar, dtype=jnp.int32)
+        step_rng, rng_ref, rng_sig = jax.random.split(step_rng, 3)
+
+        bank = None
+        if has_appearance:
+            if scfg.wonoise:
+                ref_noisy = reference_latent
+            else:
+                ref_noise = jax.random.normal(
+                    rng_ref, reference_latent.shape, dtype=reference_latent.dtype
+                )
+                t_ref = jnp.full((reference_latent.shape[0],), t_scalar, jnp.int32)
+                ref_noisy = q_sample(sched, reference_latent, t_ref, ref_noise)
+            bank = model.apply(
+                params,
+                ref_noisy,
+                jnp.full((reference_latent.shape[0],), t_scalar, jnp.int32),
+                ref_ctx,
+                method=model.compute_bank,
+            )
+
+        eps_c = to_eps(
+            model.apply(
+                params, x, t, ctx,
+                bank=bank, pose_hint=pose_hint, num_frames=num_frames,
+            ),
+            x, t,
+        )
+
+        def fresh_uncond(_):
+            if scfg.control_mode == "balance":
+                eu = model.apply(
+                    params, x, t, uctx,
+                    bank=bank, pose_hint=pose_hint, num_frames=num_frames,
+                )
+            else:
+                eu = model.apply(params, x, t, uctx, uc=True,
+                                 num_frames=num_frames)
+            return to_eps(eu, x, t)
+
+        eps_u = jax.lax.cond(
+            refresh_arr[step], fresh_uncond, lambda _: eps_u_prev, None
+        )
+        eps = jnp.where(
+            active_arr[step],
+            eps_u + scfg.cfg_scale * (eps_c - eps_u),
+            eps_c,
+        )
+
+        noise = (
+            jax.random.normal(rng_sig, x.shape, dtype=x.dtype)
+            if scfg.eta > 0
+            else jnp.zeros_like(x)
+        )
+        x_prev, _ = ddim_step(
+            x, eps,
+            ddim.alphas[step], ddim.alphas_prev[step],
+            ddim.sqrt_one_minus_alphas[step], ddim.sigmas[step],
+            noise,
+        )
+        return (x_prev, step_rng, eps_u), None
+
+    carry0 = (x_T, rng, jnp.zeros_like(x_T))
+    (x0, _, _), _ = jax.lax.scan(body_turbo, carry0, jnp.arange(S))
     return x0

@@ -199,3 +199,62 @@ def test_balance_control_mode():
                           jax.random.PRNGKey(5), x_T, ctx, ctx,
                           reference_latent=ref, pose_hint=hint)
     assert not np.allclose(np.asarray(out_imp), np.asarray(out_bal), atol=1e-3)
+
+
+def test_turbo_full_interval_is_exact():
+    """cfg_interval=(0,1) + uncond_every=1 takes the turbo scan but computes
+    the exact same trajectory as the default path (every step active+fresh,
+    identical per-step RNG splits)."""
+    cfg = tiny_cfg()
+    model, params = init_model(cfg, B=2)
+    sched = make_schedule(cfg.diffusion)
+    ddim = make_ddim_schedule(sched, 3)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    ctx = jnp.zeros((1, 5, 16))
+    ref = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 4))
+    hint = jax.random.uniform(jax.random.PRNGKey(4), (2, 64, 64, 3))
+    exact = ddim_sample(model, params, sched, ddim,
+                        SampleConfig(steps=3, cfg_scale=7.0),
+                        jax.random.PRNGKey(5), x_T, ctx, ctx,
+                        reference_latent=ref, pose_hint=hint)
+    turbo = ddim_sample(model, params, sched, ddim,
+                        SampleConfig(steps=3, cfg_scale=7.0,
+                                     cfg_interval=(0.0, 1.0)),
+                        jax.random.PRNGKey(5), x_T, ctx, ctx,
+                        reference_latent=ref, pose_hint=hint)
+    np.testing.assert_allclose(np.asarray(turbo), np.asarray(exact),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_turbo_uncond_reuse_and_interval():
+    """uncond_every>1 / a restricted cfg_interval run, stay finite and
+    deterministic, and actually change the trajectory vs exact CFG."""
+    cfg = tiny_cfg()
+    model, params = init_model(cfg, B=2)
+    sched = make_schedule(cfg.diffusion)
+    ddim = make_ddim_schedule(sched, 4)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 16))
+    ref = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 4))
+    hint = jax.random.uniform(jax.random.PRNGKey(4), (2, 64, 64, 3))
+    exact = ddim_sample(model, params, sched, ddim,
+                        SampleConfig(steps=4, cfg_scale=7.0),
+                        jax.random.PRNGKey(5), x_T, ctx, jnp.zeros_like(ctx),
+                        reference_latent=ref, pose_hint=hint)
+    for scfg in (
+        SampleConfig(steps=4, cfg_scale=7.0, uncond_every=2),
+        SampleConfig(steps=4, cfg_scale=7.0, cfg_interval=(0.3, 0.9)),
+        SampleConfig(steps=4, cfg_scale=7.0, cfg_interval=(0.3, 0.9),
+                     uncond_every=2),
+    ):
+        out1 = ddim_sample(model, params, sched, ddim, scfg,
+                           jax.random.PRNGKey(5), x_T, ctx,
+                           jnp.zeros_like(ctx),
+                           reference_latent=ref, pose_hint=hint)
+        out2 = ddim_sample(model, params, sched, ddim, scfg,
+                           jax.random.PRNGKey(5), x_T, ctx,
+                           jnp.zeros_like(ctx),
+                           reference_latent=ref, pose_hint=hint)
+        assert np.isfinite(np.asarray(out1)).all()
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+        assert not np.allclose(np.asarray(out1), np.asarray(exact), atol=1e-4)
