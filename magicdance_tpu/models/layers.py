@@ -26,7 +26,10 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from magicdance_tpu.ops.attention import bank_read_attention, dot_product_attention
+from magicdance_tpu.ops.attention import (
+    attention_packed,
+    bank_read_attention_packed,
+)
 
 
 def nonlinearity(x: jax.Array) -> jax.Array:
@@ -211,21 +214,20 @@ class CrossAttention(nn.Module):
         to_v = dense(inner, dtype=self.dtype, use_bias=False, name="to_v")
         q, k, v = to_q(x), to_k(ctx), to_v(ctx)
 
-        def split_heads(t):
-            return t.reshape(t.shape[0], t.shape[1], self.num_heads, self.head_dim)
-
-        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+        # q/k/v stay PACKED (B, S, H*D): the ops dispatch heads inside the
+        # Pallas kernels on TPU (static lane slices), so no BSNH<->BHSD
+        # transpose round-trips through HBM (~30 ms/DDIM-step saved, BENCH.md)
         if kv_extra is not None:
             # bank read: extra K/V come from the appearance bank entry; the
             # to_k/to_v projections are shared (the reference concatenates the
             # bank into `context` before projecting, attention.py:308-310).
             kb = to_k(kv_extra)
             vb = to_v(kv_extra)
-            out = bank_read_attention(q, k, v, split_heads(kb), split_heads(vb),
-                                      bank_mask=bank_mask)
+            out = bank_read_attention_packed(q, k, v, kb, vb,
+                                             num_heads=self.num_heads,
+                                             bank_mask=bank_mask)
         else:
-            out = dot_product_attention(q, k, v)
-        out = out.reshape(out.shape[0], out.shape[1], inner)
+            out = attention_packed(q, k, v, num_heads=self.num_heads)
         return dense(x.shape[-1], dtype=self.dtype, name="to_out")(out)
 
 

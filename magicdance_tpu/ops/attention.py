@@ -99,6 +99,94 @@ def _pick_impl(q: jax.Array, k: jax.Array) -> str:
     return "xla"
 
 
+def _split_heads(t: jax.Array, h: int) -> jax.Array:
+    return t.reshape(t.shape[0], t.shape[1], h, t.shape[2] // h)
+
+
+def _pick_impl_packed(sq: int, sk_total: int, d: int, *, bank: bool,
+                      has_mask: bool) -> str:
+    """Dispatch for packed (B, S, H*D) inputs. "flash_fused" = the
+    lane-sliced kernels that skip the BSNH->BHSD transposes entirely —
+    measured (v5e, B=32, scripts/bench_attn_layout.py) they win every
+    self-attention shape (−5% at S=4096 to −59% at S=1024 end-to-end) and
+    the bank shapes below S=4096; the gated (bank_mask) kernel only exists
+    in BSNH layout."""
+    override = _IMPL_OVERRIDE.get()
+    if override != "auto":
+        return override
+    on_tpu = jax.default_backend() == "tpu"
+    if not (on_tpu and sq >= 256 and sk_total >= 256 and d <= 256):
+        return "xla"
+    if bank and (has_mask or sq >= 4096):
+        return "flash"
+    return "flash_fused"
+
+
+def attention_packed(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    num_heads: int,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+) -> jax.Array:
+    """Multi-head attention on PACKED (B, S, H*D) projection outputs —
+    the layer never splits heads on the host, so the eligible TPU path
+    runs with zero layout transposes around the kernel."""
+    d = q.shape[-1] // num_heads
+    if scale is None:
+        scale = d ** -0.5
+    if impl == "auto":
+        impl = _pick_impl_packed(q.shape[1], k.shape[1], d, bank=False,
+                                 has_mask=False)
+    if impl == "flash_fused":
+        from magicdance_tpu.ops.flash_attention import flash_attention_fused
+
+        return flash_attention_fused(q, k, v, scale=scale, num_heads=num_heads)
+    out = dot_product_attention(
+        _split_heads(q, num_heads), _split_heads(k, num_heads),
+        _split_heads(v, num_heads), scale=scale, impl=impl,
+    )
+    return out.reshape(q.shape)
+
+
+def bank_read_attention_packed(
+    q: jax.Array,
+    k_self: jax.Array,
+    v_self: jax.Array,
+    k_bank: jax.Array,
+    v_bank: jax.Array,
+    *,
+    num_heads: int,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+    bank_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Bank-read attention on PACKED (B, S, H*D) inputs (bank batch ∈ {1, B})."""
+    d = q.shape[-1] // num_heads
+    if scale is None:
+        scale = d ** -0.5
+    if impl == "auto":
+        impl = _pick_impl_packed(q.shape[1], k_self.shape[1] + k_bank.shape[1],
+                                 d, bank=True, has_mask=bank_mask is not None)
+    if impl == "flash_fused":
+        from magicdance_tpu.ops.flash_attention import (
+            flash_attention_two_source_fused,
+        )
+
+        return flash_attention_two_source_fused(
+            q, k_self, v_self, k_bank, v_bank, scale=scale, num_heads=num_heads
+        )
+    out = bank_read_attention(
+        _split_heads(q, num_heads), _split_heads(k_self, num_heads),
+        _split_heads(v_self, num_heads), _split_heads(k_bank, num_heads),
+        _split_heads(v_bank, num_heads),
+        scale=scale, impl=impl, bank_mask=bank_mask,
+    )
+    return out.reshape(q.shape)
+
+
 def bank_read_attention(
     q: jax.Array,
     k_self: jax.Array,

@@ -51,3 +51,41 @@ def flash_attention_two_source(q, k_self, v_self, k_bank, v_bank, *,
 
     return bank_read_attention(q, k_self, v_self, k_bank, v_bank, scale=scale,
                                impl="xla", bank_mask=bank_mask)
+
+
+def _split(t, h):
+    return t.reshape(t.shape[0], t.shape[1], h, t.shape[2] // h)
+
+
+def flash_attention_fused(q, k, v, *, scale: float, num_heads: int):
+    """Packed-layout (B, S, H*D) attention: heads split INSIDE the kernel by
+    static lane slices, so no BSNH<->BHSD transpose ever touches HBM."""
+    if _pallas_available():
+        from magicdance_tpu.ops.pallas.flash import flash_attention_fused as _faf
+
+        return _faf(q, k, v, scale=scale, num_heads=num_heads)
+    from magicdance_tpu.ops.attention import _xla_attention
+
+    out = _xla_attention(_split(q, num_heads), _split(k, num_heads),
+                         _split(v, num_heads), scale)
+    return out.reshape(q.shape)
+
+
+def flash_attention_two_source_fused(q, k_self, v_self, k_bank, v_bank, *,
+                                     scale: float, num_heads: int):
+    """Packed-layout bank-read attention (ungated; bank batch ∈ {1, B})."""
+    if _pallas_available():
+        from magicdance_tpu.ops.pallas.flash import (
+            flash_attention_two_source_fused as _fa2f,
+        )
+
+        return _fa2f(q, k_self, v_self, k_bank, v_bank, scale=scale,
+                     num_heads=num_heads)
+    from magicdance_tpu.ops.attention import bank_read_attention
+
+    out = bank_read_attention(_split(q, num_heads), _split(k_self, num_heads),
+                              _split(v_self, num_heads),
+                              _split(k_bank, num_heads),
+                              _split(v_bank, num_heads),
+                              scale=scale, impl="xla")
+    return out.reshape(q.shape)

@@ -359,6 +359,7 @@ def flash_attention_fused(q, k, v, *, scale: float, num_heads: int):
         grid=grid,
         in_specs=[qspec, kvspec, kvspec],
         out_specs=qspec,
+        compiler_params=_COMPILER_PARAMS,
     )(q, k, v)
 
 
@@ -387,4 +388,5 @@ def flash_attention_two_source_fused(q, k_self, v_self, k_bank, v_bank, *,
         grid=grid,
         in_specs=[qspec, kvspec, kvspec, bspec, bspec],
         out_specs=qspec,
+        compiler_params=_COMPILER_PARAMS,
     )(q, k_self, v_self, k_bank, v_bank)

@@ -102,3 +102,74 @@ def test_xla_bank_mask_matches():
                                atol=2e-5, rtol=2e-5)
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(plain[1]),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_attention_packed_matches_split():
+    from magicdance_tpu.ops.attention import attention_packed
+
+    b, s, h, d = 2, 64, 2, 32
+    q = _rand((b, s, h * d), 10)
+    k = _rand((b, s, h * d), 11)
+    v = _rand((b, s, h * d), 12)
+    ref = _xla_attention(q.reshape(b, s, h, d), k.reshape(b, s, h, d),
+                         v.reshape(b, s, h, d), d**-0.5).reshape(b, s, h * d)
+    out = attention_packed(q, k, v, num_heads=h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_bank_read_packed_matches_split():
+    from magicdance_tpu.ops.attention import bank_read_attention_packed
+
+    b, s, sb, h, d = 2, 64, 32, 2, 32
+    q = _rand((b, s, h * d), 10)
+    k = _rand((b, s, h * d), 11)
+    v = _rand((b, s, h * d), 12)
+    kb = _rand((1, sb, h * d), 13)
+    vb = _rand((1, sb, h * d), 14)
+    ref = bank_read_attention(
+        q.reshape(b, s, h, d), k.reshape(b, s, h, d), v.reshape(b, s, h, d),
+        kb.reshape(1, sb, h, d), vb.reshape(1, sb, h, d), impl="xla",
+    ).reshape(b, s, h * d)
+    out = bank_read_attention_packed(q, k, v, kb, vb, num_heads=h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    # gated variant
+    mask = jnp.array([1.0, 0.0])
+    gated = bank_read_attention_packed(q, k, v, kb, vb, num_heads=h,
+                                       bank_mask=mask)
+    plain = _xla_attention(q.reshape(b, s, h, d), k.reshape(b, s, h, d),
+                           v.reshape(b, s, h, d), d**-0.5).reshape(b, s, h * d)
+    np.testing.assert_allclose(np.asarray(gated[1]), np.asarray(plain[1]),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fused_layout_kernels_match_reference():
+    """The lane-sliced packed kernels (interpret mode) vs the XLA math."""
+    from magicdance_tpu.ops.pallas.flash import (
+        flash_attention_fused,
+        flash_attention_two_source_fused,
+    )
+
+    b, s, sb, h, d = 2, 64, 64, 2, 32
+    q = _rand((b, s, h * d), 20)
+    k = _rand((b, s, h * d), 21)
+    v = _rand((b, s, h * d), 22)
+    kb = _rand((1, sb, h * d), 23)
+    vb = _rand((1, sb, h * d), 24)
+    scale = d**-0.5
+    ref = _xla_attention(q.reshape(b, s, h, d), k.reshape(b, s, h, d),
+                         v.reshape(b, s, h, d), scale).reshape(b, s, h * d)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_fused(q, k, v, scale=scale, num_heads=h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    ref2 = bank_read_attention(
+        q.reshape(b, s, h, d), k.reshape(b, s, h, d), v.reshape(b, s, h, d),
+        kb.reshape(1, sb, h, d), vb.reshape(1, sb, h, d), impl="xla",
+    ).reshape(b, s, h * d)
+    with pltpu.force_tpu_interpret_mode():
+        out2 = flash_attention_two_source_fused(q, k, v, kb, vb, scale=scale,
+                                                num_heads=h)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               atol=2e-5, rtol=2e-5)
