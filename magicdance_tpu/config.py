@@ -97,6 +97,11 @@ class VAEConfig:
     out_channels: int = 3
     double_z: bool = True
     scale_factor: float = 0.18215
+    # compute dtype for VAE forward passes ("float32" | "bfloat16"). Params
+    # stay f32 either way. bf16 halves the HBM traffic of the decoder's
+    # activation tensors (the 512² decode is bandwidth-bound: convs measured
+    # at ~600 GB/s); serving presets may opt in, training keeps f32.
+    compute_dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -200,6 +205,11 @@ class SampleConfig:
     # smooth in t — "Faster Diffusion"-style reuse applied to the CFG pass).
     # Cuts ~(1-1/k) of all vanilla-SD uncond forwards.
     uncond_every: int = 1
+    # pose_every=k (k>1): refresh the pose-ControlNet residuals every k-th
+    # step and reuse the cached tuple in between (DeepCache-style reuse —
+    # the residuals vary smoothly along the trajectory while the hint is
+    # constant). Cuts ~(1-1/k) of all pose-branch forwards.
+    pose_every: int = 1
 
 
 class FreezeRegime(str, enum.Enum):

@@ -85,6 +85,22 @@ class MagicPoseModel(nn.Module):
     def _dtype(self):
         return jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
 
+    def compute_pose_residuals(
+        self,
+        x_noisy: jax.Array,
+        pose_hint: jax.Array,
+        timesteps: jax.Array,
+        context: jax.Array,
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, ...]:
+        """Run only the pose branch (ref cldm.py:736-757). Exposed so the
+        sampler's turbo mode can refresh residuals every k-th step and feed
+        them back via `pose_residuals=`."""
+        return self.pose_control(
+            x_noisy, pose_hint, timesteps, context,
+            deterministic=deterministic, dtype=self._dtype(),
+        )
+
     def __call__(
         self,
         x_noisy: jax.Array,
@@ -98,6 +114,7 @@ class MagicPoseModel(nn.Module):
         num_frames: int = 1,
         deterministic: bool = True,
         concat_cond: Optional[jax.Array] = None,
+        pose_residuals: Optional[Tuple[jax.Array, ...]] = None,
     ) -> jax.Array:
         """eps/v prediction (ref cldm.py:1099-1117 apply_model).
 
@@ -108,6 +125,8 @@ class MagicPoseModel(nn.Module):
         UNet input for the inpaint/mask variants (ref cldm.py:889
         ControlInpaintLDM, :985 ControlLDMVideoMaskPose; ddim.py:524-527
         per-step c_concat) — cfg.unet.in_channels must account for it.
+        `pose_residuals`, if given, bypasses the pose branch (turbo-mode
+        residual reuse; see compute_pose_residuals).
         """
         dtype = self._dtype()
         if concat_cond is not None:
@@ -145,8 +164,8 @@ class MagicPoseModel(nn.Module):
                 rep = x_noisy.shape[0] // bank[0].shape[0]
                 bank = tuple(jnp.repeat(e, rep, axis=0) for e in bank)
 
-        pose_residuals = None
-        if self.cfg.has_pose and pose_hint is not None:
+        if (pose_residuals is None and self.cfg.has_pose
+                and pose_hint is not None):
             pose_residuals = self.pose_control(
                 x_noisy, pose_hint, timesteps, context,
                 deterministic=deterministic, dtype=dtype,

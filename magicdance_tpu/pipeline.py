@@ -40,7 +40,11 @@ class MagicPosePipeline:
     ):
         self.cfg = cfg
         self.model = MagicPoseModel(cfg)
-        self.vae = AutoencoderKL(cfg.vae)
+        self.vae = AutoencoderKL(
+            cfg.vae,
+            dtype=jnp.bfloat16 if cfg.vae.compute_dtype == "bfloat16"
+            else jnp.float32,
+        )
         self.clip = CLIPTextEncoder(cfg.clip)
         self.sched = make_schedule(cfg.diffusion)
         self.tokenizer = tokenizer or CLIPTokenizer()
@@ -214,7 +218,8 @@ class MagicPosePipeline:
         key = (scfg.steps, scfg.cfg_scale, scfg.eta, scfg.wonoise,
                scfg.shared_noise, F, latent, pose_maps is not None, use_ref,
                decode, video, scfg.window, scfg.stride, scfg.fused_cfg,
-               scfg.control_mode, scfg.cfg_interval, scfg.uncond_every)
+               scfg.control_mode, scfg.cfg_interval, scfg.uncond_every,
+               scfg.pose_every)
         if key not in self._jit_sample:
             def run(params, ids, uids, ref_image, pose_maps, rng):
                 ctx = self.clip.apply(params["clip"], ids).astype(jnp.float32)

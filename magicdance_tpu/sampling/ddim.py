@@ -83,10 +83,14 @@ def ddim_sample(
     use_cfg = scfg.cfg_scale != 1.0 and uncond_context is not None
     # opt-in turbo CFG (SampleConfig.cfg_interval / uncond_every): the
     # default path below stays byte-identical to the reference recipe
+    use_pose_reuse = (
+        scfg.pose_every > 1 and pose_hint is not None and model.cfg.has_pose
+    )
     turbo = (
-        use_cfg
-        and not scfg.fused_cfg
-        and (scfg.cfg_interval is not None or scfg.uncond_every > 1)
+        not scfg.fused_cfg
+        and (use_pose_reuse
+             or (use_cfg and (scfg.cfg_interval is not None
+                              or scfg.uncond_every > 1)))
     )
 
     def tile_ctx(c):
@@ -190,7 +194,10 @@ def ddim_sample(
     frac = ts / float(sched.num_timesteps)
     lo, hi = scfg.cfg_interval if scfg.cfg_interval is not None else (0.0, 1.0)
     active_np = (frac >= lo) & (frac <= hi)
+    if not use_cfg:
+        active_np[:] = False
     refresh_np = np.zeros(S, dtype=bool)
+    pose_refresh_np = np.zeros(S, dtype=bool)
     n_active = 0
     for i_exec in range(S):  # scan order: descending t
         step_exec = S - 1 - i_exec
@@ -198,11 +205,26 @@ def ddim_sample(
             if n_active % max(scfg.uncond_every, 1) == 0:
                 refresh_np[step_exec] = True
             n_active += 1
+        if i_exec % max(scfg.pose_every, 1) == 0:
+            pose_refresh_np[step_exec] = True
     active_arr = jnp.asarray(active_np)
     refresh_arr = jnp.asarray(refresh_np)
+    pose_refresh_arr = jnp.asarray(pose_refresh_np)
+
+    if use_pose_reuse:
+        pose_shapes = jax.eval_shape(
+            lambda: model.apply(
+                params, x_T, pose_hint, jnp.zeros((B,), jnp.int32), ctx,
+                method=model.compute_pose_residuals,
+            )
+        )
+        pose0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                             pose_shapes)
+    else:
+        pose0 = ()
 
     def body_turbo(carry, i):
-        x, step_rng, eps_u_prev = carry
+        x, step_rng, eps_u_prev, pose_prev = carry
         step = S - 1 - i
         t_scalar = ddim.timesteps[step]
         t = jnp.full((B,), t_scalar, dtype=jnp.int32)
@@ -226,33 +248,53 @@ def ddim_sample(
                 method=model.compute_bank,
             )
 
+        if use_pose_reuse:
+            def fresh_pose(_):
+                return model.apply(
+                    params, x, pose_hint, t, ctx,
+                    method=model.compute_pose_residuals,
+                )
+
+            pose_res = jax.lax.cond(
+                pose_refresh_arr[step], fresh_pose, lambda _: pose_prev, None
+            )
+        else:
+            pose_res = pose_prev  # ()
+
+        pose_kw = dict(pose_residuals=pose_res) if use_pose_reuse else {}
         eps_c = to_eps(
             model.apply(
                 params, x, t, ctx,
                 bank=bank, pose_hint=pose_hint, num_frames=num_frames,
+                **pose_kw,
             ),
             x, t,
         )
 
-        def fresh_uncond(_):
-            if scfg.control_mode == "balance":
-                eu = model.apply(
-                    params, x, t, uctx,
-                    bank=bank, pose_hint=pose_hint, num_frames=num_frames,
-                )
-            else:
-                eu = model.apply(params, x, t, uctx, uc=True,
-                                 num_frames=num_frames)
-            return to_eps(eu, x, t)
+        if use_cfg:
+            def fresh_uncond(_):
+                if scfg.control_mode == "balance":
+                    eu = model.apply(
+                        params, x, t, uctx,
+                        bank=bank, pose_hint=pose_hint, num_frames=num_frames,
+                        **pose_kw,
+                    )
+                else:
+                    eu = model.apply(params, x, t, uctx, uc=True,
+                                     num_frames=num_frames)
+                return to_eps(eu, x, t)
 
-        eps_u = jax.lax.cond(
-            refresh_arr[step], fresh_uncond, lambda _: eps_u_prev, None
-        )
-        eps = jnp.where(
-            active_arr[step],
-            eps_u + scfg.cfg_scale * (eps_c - eps_u),
-            eps_c,
-        )
+            eps_u = jax.lax.cond(
+                refresh_arr[step], fresh_uncond, lambda _: eps_u_prev, None
+            )
+            eps = jnp.where(
+                active_arr[step],
+                eps_u + scfg.cfg_scale * (eps_c - eps_u),
+                eps_c,
+            )
+        else:
+            eps_u = eps_u_prev
+            eps = eps_c
 
         noise = (
             jax.random.normal(rng_sig, x.shape, dtype=x.dtype)
@@ -265,8 +307,8 @@ def ddim_sample(
             ddim.sqrt_one_minus_alphas[step], ddim.sigmas[step],
             noise,
         )
-        return (x_prev, step_rng, eps_u), None
+        return (x_prev, step_rng, eps_u, pose_res), None
 
-    carry0 = (x_T, rng, jnp.zeros_like(x_T))
-    (x0, _, _), _ = jax.lax.scan(body_turbo, carry0, jnp.arange(S))
+    carry0 = (x_T, rng, jnp.zeros_like(x_T), pose0)
+    (x0, _, _, _), _ = jax.lax.scan(body_turbo, carry0, jnp.arange(S))
     return x0

@@ -258,3 +258,45 @@ def test_turbo_uncond_reuse_and_interval():
         assert np.isfinite(np.asarray(out1)).all()
         np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
         assert not np.allclose(np.asarray(out1), np.asarray(exact), atol=1e-4)
+
+
+def test_turbo_pose_reuse():
+    """pose_every>1: residuals refresh on a stride; pose_every=1 inside the
+    turbo scan (forced via cfg_interval) must stay exact."""
+    cfg = tiny_cfg()
+    model, params = init_model(cfg, B=2)
+    sched = make_schedule(cfg.diffusion)
+    ddim = make_ddim_schedule(sched, 4)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 16))
+    ref = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 4))
+    hint = jax.random.uniform(jax.random.PRNGKey(4), (2, 64, 64, 3))
+    exact = ddim_sample(model, params, sched, ddim,
+                        SampleConfig(steps=4, cfg_scale=7.0),
+                        jax.random.PRNGKey(5), x_T, ctx, jnp.zeros_like(ctx),
+                        reference_latent=ref, pose_hint=hint)
+    # turbo scan with every pose step refreshed == exact
+    t1 = ddim_sample(model, params, sched, ddim,
+                     SampleConfig(steps=4, cfg_scale=7.0,
+                                  cfg_interval=(0.0, 1.0), pose_every=1),
+                     jax.random.PRNGKey(5), x_T, ctx, jnp.zeros_like(ctx),
+                     reference_latent=ref, pose_hint=hint)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(exact),
+                               atol=1e-5, rtol=1e-5)
+    # stride-2 reuse: finite, deterministic, different from exact
+    scfg = SampleConfig(steps=4, cfg_scale=7.0, pose_every=2)
+    o1 = ddim_sample(model, params, sched, ddim, scfg, jax.random.PRNGKey(5),
+                     x_T, ctx, jnp.zeros_like(ctx),
+                     reference_latent=ref, pose_hint=hint)
+    o2 = ddim_sample(model, params, sched, ddim, scfg, jax.random.PRNGKey(5),
+                     x_T, ctx, jnp.zeros_like(ctx),
+                     reference_latent=ref, pose_hint=hint)
+    assert np.isfinite(np.asarray(o1)).all()
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    assert not np.allclose(np.asarray(o1), np.asarray(exact), atol=1e-4)
+    # pose reuse without CFG (cfg_scale=1) exercises the no-uncond turbo leg
+    o3 = ddim_sample(model, params, sched, ddim,
+                     SampleConfig(steps=4, cfg_scale=1.0, pose_every=2),
+                     jax.random.PRNGKey(5), x_T, ctx, jnp.zeros_like(ctx),
+                     reference_latent=ref, pose_hint=hint)
+    assert np.isfinite(np.asarray(o3)).all()
