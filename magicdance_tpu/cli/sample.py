@@ -52,6 +52,17 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mp4", action="store_true")
     p.add_argument("--no_pose_noise", dest="wonoise", action="store_true",
                    default=True)
+    # opt-in turbo modes (defaults are exact parity; see BENCH.md — all
+    # three combined measured +36% on v5e)
+    p.add_argument("--cfg_interval", type=float, nargs=2, default=None,
+                   metavar=("LO", "HI"),
+                   help="apply CFG only while t/T is in [LO, HI); skips the "
+                        "uncond forward outside (e.g. 0.15 0.85)")
+    p.add_argument("--uncond_every", type=int, default=1,
+                   help="refresh the uncond eps every k-th CFG-active step, "
+                        "reuse the cached value in between")
+    p.add_argument("--pose_every", type=int, default=1,
+                   help="refresh pose-ControlNet residuals every k-th step")
     return p
 
 
@@ -120,7 +131,11 @@ def main(argv=None) -> None:
 
     scfg = SampleConfig(steps=args.steps, cfg_scale=args.cfg, eta=args.eta,
                         wonoise=args.wonoise, window=args.window,
-                        stride=args.stride)
+                        stride=args.stride,
+                        cfg_interval=(tuple(args.cfg_interval)
+                                      if args.cfg_interval else None),
+                        uncond_every=args.uncond_every,
+                        pose_every=args.pose_every)
     os.makedirs(args.output, exist_ok=True)
     rng = jax.random.PRNGKey(args.seed)
 

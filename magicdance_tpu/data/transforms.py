@@ -86,7 +86,9 @@ def to_hint_range(img: np.ndarray) -> np.ndarray:
 
 
 def from_model_range(img: np.ndarray) -> np.ndarray:
-    return np.clip((img + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    # nan_to_num: random-weight smoke runs can emit non-finite pixels; map
+    # them to black instead of tripping the uint8 cast
+    return np.clip(np.nan_to_num((img + 1.0) * 127.5), 0, 255).astype(np.uint8)
 
 
 def prepare_image(

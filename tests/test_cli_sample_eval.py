@@ -113,3 +113,28 @@ def test_cli_sample_video_mode(tmp_path):
           "--window", "4", "--stride", "3"])
     frames = [f for f in os.listdir(out) if f.endswith(".png")]
     assert len(frames) == 6
+
+
+def test_cli_sample_turbo_flags(tmp_path):
+    """The turbo flags reach SampleConfig and produce frames."""
+    from magicdance_tpu.cli.sample import main
+
+    rs = np.random.RandomState(0)
+    ref = tmp_path / "ref.png"
+    Image.fromarray(rs.randint(0, 255, (40, 30, 3)).astype(np.uint8)).save(ref)
+    pose_dir = tmp_path / "poses"
+    pose_dir.mkdir()
+    for i in range(2):
+        Image.fromarray(rs.randint(0, 255, (40, 30, 3)).astype(np.uint8)).save(
+            pose_dir / f"{i:03d}.png")
+    cfg = tmp_path / "model.json"
+    tiny_model_json(cfg)
+    out = tmp_path / "out"
+
+    main(["--model_config", str(cfg), "--reference", str(ref),
+          "--pose_dir", str(pose_dir), "--output", str(out),
+          "--steps", "4", "--size", "32",
+          "--cfg_interval", "0.15", "0.85", "--uncond_every", "2",
+          "--pose_every", "2"])
+    frames = [f for f in os.listdir(out) if f.endswith(".png")]
+    assert len(frames) == 2
