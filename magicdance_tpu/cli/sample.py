@@ -63,6 +63,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "reuse the cached value in between")
     p.add_argument("--pose_every", type=int, default=1,
                    help="refresh pose-ControlNet residuals every k-th step")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler (xplane) trace of the "
+                        "sampling run into DIR (TensorBoard-loadable)")
     return p
 
 
@@ -139,21 +142,32 @@ def main(argv=None) -> None:
     os.makedirs(args.output, exist_ok=True)
     rng = jax.random.PRNGKey(args.seed)
 
+    import contextlib
+
+    if args.profile:
+        from magicdance_tpu.utils.profiling import trace
+
+        profile_ctx = trace(args.profile)
+    else:
+        profile_ctx = contextlib.nullcontext()
+
     B = args.batch if args.batch > 0 else len(poses)
     frames = []
-    for i in range(0, len(poses), B):
-        chunk = poses[i : i + B]
-        if len(chunk) < B:  # pad to keep one compiled shape
-            pad = B - len(chunk)
-            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-        else:
-            pad = 0
-        imgs = pipe.sample_frames(rng, jnp.asarray(chunk), jnp.asarray(ref),
-                                  scfg, video=args.video)
-        imgs = np.asarray(imgs)
-        if pad:
-            imgs = imgs[:-pad]
-        frames.extend(from_model_range(f) for f in imgs)
+    with profile_ctx:
+        for i in range(0, len(poses), B):
+            chunk = poses[i : i + B]
+            if len(chunk) < B:  # pad to keep one compiled shape
+                pad = B - len(chunk)
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+            else:
+                pad = 0
+            imgs = pipe.sample_frames(rng, jnp.asarray(chunk),
+                                      jnp.asarray(ref), scfg,
+                                      video=args.video)
+            imgs = np.asarray(imgs)
+            if pad:
+                imgs = imgs[:-pad]
+            frames.extend(from_model_range(f) for f in imgs)
 
     for name, frame in zip(pose_files, frames):
         Image.fromarray(frame).save(os.path.join(args.output, name))
