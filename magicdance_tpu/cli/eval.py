@@ -32,6 +32,12 @@ def main(argv=None) -> None:
     p.add_argument("--batch", type=int, default=8, help="frames per jit batch")
     p.add_argument("--max_videos", type=int, default=0)
     p.add_argument("--every_nth", type=int, default=1)
+    # opt-in turbo modes (defaults exact; BENCH.md) — exposed here so their
+    # metric impact can be measured with the same harness
+    p.add_argument("--cfg_interval", type=float, nargs=2, default=None,
+                   metavar=("LO", "HI"))
+    p.add_argument("--uncond_every", type=int, default=1)
+    p.add_argument("--pose_every", type=int, default=1)
     args = p.parse_args(argv)
 
     import jax
@@ -66,7 +72,11 @@ def main(argv=None) -> None:
         pipe.fast_init_params(jax.random.PRNGKey(0), image_size=args.size)
         pipe.cast_model_params(jnp.bfloat16)
 
-    scfg = SampleConfig(steps=args.steps, cfg_scale=args.cfg)
+    scfg = SampleConfig(steps=args.steps, cfg_scale=args.cfg,
+                        cfg_interval=(tuple(args.cfg_interval)
+                                      if args.cfg_interval else None),
+                        uncond_every=args.uncond_every,
+                        pose_every=args.pose_every)
     ds = TikTokEvalDataset(root=args.data, image_size=args.size,
                            every_nth=args.every_nth)
     rng = jax.random.PRNGKey(args.seed)
