@@ -1,0 +1,38 @@
+"""Video-mode serving bench: temporal UNet + overlap-window sampling.
+
+F=24 frames, window 16 / stride 12 (the reference's AnimateDiff scheme) =
+2 windows x 16 = 32 UNet rows per step — same step batch as the B=32
+image-mode headline, so the delta is the motion-module + scatter-average
+cost.
+"""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import json, time
+import jax, jax.numpy as jnp
+from magicdance_tpu.config import ModelConfig, ModelVariant, SampleConfig, UNetConfig
+from magicdance_tpu.pipeline import MagicPosePipeline
+
+FRAMES, STEPS, SIZE = 24, 50, 512
+cfg = ModelConfig(variant=ModelVariant.APPEARANCE_POSE_TEMPORAL,
+                  unet=UNetConfig(use_motion_modules=True))
+pipe = MagicPosePipeline(cfg)
+t0 = time.time()
+pipe.fast_init_params(jax.random.PRNGKey(0), image_size=SIZE, zeros=True)
+pipe.cast_model_params(jnp.bfloat16)
+print(f"init {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+pose = jax.random.uniform(jax.random.PRNGKey(1), (FRAMES, SIZE, SIZE, 3))
+ref = jax.random.uniform(jax.random.PRNGKey(2), (1, SIZE, SIZE, 3)) * 2 - 1
+scfg = SampleConfig(steps=STEPS, cfg_scale=7.0, window=16, stride=12)
+
+t0 = time.time()
+out = pipe.sample_frames(jax.random.PRNGKey(3), pose, ref, scfg, video=True)
+_ = float(jnp.mean(out))
+compile_s = time.time() - t0
+t0 = time.time()
+out = pipe.sample_frames(jax.random.PRNGKey(4), pose, ref, scfg, video=True)
+_ = float(jnp.mean(out))
+run_s = time.time() - t0
+print(json.dumps({"variant": "video_f24_w16_s12",
+                  "fps": round(FRAMES / run_s, 3),
+                  "s_per_frame": round(run_s / FRAMES, 3),
+                  "compile_s": round(compile_s, 1)}), flush=True)
