@@ -110,7 +110,11 @@ def _pick_impl_packed(sq: int, sk_total: int, d: int, *, bank: bool,
     measured (v5e, B=32, scripts/bench_attn_layout.py) they win every
     self-attention shape (−5% at S=4096 to −59% at S=1024 end-to-end) and
     the bank shapes below S=4096; the gated (bank_mask) kernel only exists
-    in BSNH layout."""
+    in BSNH layout. Short-KV cross-attention (77-token context) stays on
+    XLA: the kernel measured −23% isolated at S=1024
+    (scripts/bench_cross_attn.py) but end-to-end the swap was 0.997→0.986
+    f/s — in-graph XLA already fuses the short-KV softmax chain well, and
+    at S=4096 the padded 77-wide matmuls lose outright."""
     override = _IMPL_OVERRIDE.get()
     if override != "auto":
         return override
