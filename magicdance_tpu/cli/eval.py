@@ -38,6 +38,7 @@ def main(argv=None) -> None:
                    metavar=("LO", "HI"))
     p.add_argument("--uncond_every", type=int, default=1)
     p.add_argument("--pose_every", type=int, default=1)
+    p.add_argument("--deepcache_every", type=int, default=1)
     args = p.parse_args(argv)
 
     import jax
@@ -76,7 +77,8 @@ def main(argv=None) -> None:
                         cfg_interval=(tuple(args.cfg_interval)
                                       if args.cfg_interval else None),
                         uncond_every=args.uncond_every,
-                        pose_every=args.pose_every)
+                        pose_every=args.pose_every,
+                        deepcache_every=args.deepcache_every)
     ds = TikTokEvalDataset(root=args.data, image_size=args.size,
                            every_nth=args.every_nth)
     rng = jax.random.PRNGKey(args.seed)

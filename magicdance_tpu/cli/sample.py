@@ -63,6 +63,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "reuse the cached value in between")
     p.add_argument("--pose_every", type=int, default=1,
                    help="refresh pose-ControlNet residuals every k-th step")
+    p.add_argument("--deepcache_every", type=int, default=1,
+                   help="refresh the cond UNet's deep levels every k-th "
+                        "step; run only the level-0 encoder/decoder in "
+                        "between (DeepCache)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler (xplane) trace of the "
                         "sampling run into DIR (TensorBoard-loadable)")
@@ -138,7 +142,8 @@ def main(argv=None) -> None:
                         cfg_interval=(tuple(args.cfg_interval)
                                       if args.cfg_interval else None),
                         uncond_every=args.uncond_every,
-                        pose_every=args.pose_every)
+                        pose_every=args.pose_every,
+                        deepcache_every=args.deepcache_every)
     os.makedirs(args.output, exist_ok=True)
     rng = jax.random.PRNGKey(args.seed)
 

@@ -210,6 +210,12 @@ class SampleConfig:
     # the residuals vary smoothly along the trajectory while the hint is
     # constant). Cuts ~(1-1/k) of all pose-branch forwards.
     pose_every: int = 1
+    # deepcache_every=k (k>1): refresh the cond UNet's deep levels every
+    # k-th step; in between run only the level-0 encoder/decoder around the
+    # cached deep feature ("DeepCache", Ma et al. 2023 — the deep features
+    # vary slowly along the trajectory). Combines with pose_every (reuse
+    # steps then also skip the pose branch refresh).
+    deepcache_every: int = 1
 
 
 class FreezeRegime(str, enum.Enum):

@@ -115,7 +115,9 @@ class MagicPoseModel(nn.Module):
         deterministic: bool = True,
         concat_cond: Optional[jax.Array] = None,
         pose_residuals: Optional[Tuple[jax.Array, ...]] = None,
-    ) -> jax.Array:
+        collect_deep: bool = False,
+        deep_cache_in: Optional[jax.Array] = None,
+    ):
         """eps/v prediction (ref cldm.py:1099-1117 apply_model).
 
         Either pass `reference_noisy` (bank computed inline, training path) or
@@ -127,6 +129,9 @@ class MagicPoseModel(nn.Module):
         per-step c_concat) — cfg.unet.in_channels must account for it.
         `pose_residuals`, if given, bypasses the pose branch (turbo-mode
         residual reuse; see compute_pose_residuals).
+        `collect_deep` / `deep_cache_in` thread the DeepCache deep feature
+        through the main UNet (turbo-mode deep-level reuse; see
+        models/unet.py) — with collect_deep the return is (eps, deep).
         """
         dtype = self._dtype()
         if concat_cond is not None:
@@ -171,11 +176,16 @@ class MagicPoseModel(nn.Module):
                 deterministic=deterministic, dtype=dtype,
             )
 
-        out, _ = self.unet(
+        res = self.unet(
             x_noisy, timesteps, context,
             bank=bank, pose_residuals=pose_residuals, num_frames=num_frames,
             deterministic=deterministic, dtype=dtype,
+            collect_deep=collect_deep, deep_cache_in=deep_cache_in,
         )
+        if collect_deep:
+            out, _, deep = res
+            return out, deep
+        out, _ = res
         return out
 
     def cfg_fused_eps(

@@ -93,6 +93,37 @@ def num_bank_entries(cfg: UNetConfig) -> int:
     return (enc + mid + dec) * cfg.transformer_depth
 
 
+def shallow_plan(cfg: UNetConfig):
+    """Static bookkeeping for the DeepCache shallow pass (level-0 only).
+
+    Returns (n_enc0_bank, n_dec0_bank, start_dec, start_dattn, start_dmm):
+    bank entries consumed by the level-0 encoder/decoder attention sites,
+    and the full-run name-counter offsets at which the level-0 decoder
+    units start (so shallow-pass module names match the full pass and
+    reuse the same parameters).
+    """
+    units, _, final_ds = unet_plan(cfg)
+    n_enc0 = sum(1 for u in units
+                 if u["kind"] == "res" and u["attn"] and u["level"] == 0)
+    start_dec = start_dattn = start_dmm = 0
+    n_dec0 = 0
+    ds = final_ds
+    for level in reversed(range(len(cfg.channel_mult))):
+        for _ in range(cfg.num_res_blocks + 1):
+            if level == 0:
+                if ds in cfg.attention_resolutions:
+                    n_dec0 += 1
+            else:
+                start_dec += 1
+                start_dmm += 1
+                if ds in cfg.attention_resolutions:
+                    start_dattn += 1
+        if level != 0:
+            ds //= 2
+    d = cfg.transformer_depth
+    return n_enc0 * d, n_dec0 * d, start_dec, start_dattn, start_dmm
+
+
 class UNet(nn.Module):
     cfg: UNetConfig
 
@@ -113,8 +144,11 @@ class UNet(nn.Module):
         deterministic: bool = True,
         dtype: jnp.dtype = jnp.bfloat16,
         bank_mask: Optional[jax.Array] = None,
-    ) -> Tuple[jax.Array, Bank]:
-        """Returns (eps_prediction, bank_written).
+        collect_deep: bool = False,
+        deep_cache_in: Optional[jax.Array] = None,
+    ):
+        """Returns (eps_prediction, bank_written), or
+        (eps_prediction, bank_written, deep_feature) when collect_deep.
 
         x: (B, H, W, C) latents (B = batch*frames when temporal).
         timesteps: (B,) int32.
@@ -122,9 +156,19 @@ class UNet(nn.Module):
           the caller's job; reference always passes CLIP("") at minimum).
         bank: tuple of (B_bank, S_i, C_i) appearance entries (B_bank ∈ {1, B}).
         pose_residuals: 13-tuple, [0..11] per-encoder-skip, [12] middle.
+
+        DeepCache (turbo serving): `collect_deep=True` additionally returns
+        the hidden state entering the level-0 decoder (post-upsample);
+        `deep_cache_in=that_feature` runs a SHALLOW pass — level-0 encoder,
+        cached deep feature, level-0 decoder — skipping every deeper level
+        ("DeepCache", Ma et al. 2023). A shallow pass fed the deep feature
+        of the SAME (x, t) reproduces the full forward exactly.
         """
         cfg = self.cfg
         assert bank is None or not collect_bank, "write and read are exclusive"
+        shallow = deep_cache_in is not None
+        assert not (shallow and collect_deep), "collect_deep in a shallow pass"
+        assert not (shallow and collect_bank), "bank write in a shallow pass"
         # rematerialize blocks under autodiff (no-op on forward-only graphs):
         # SD1.5-scale 512^2 training does not fit HBM without it
         if cfg.remat:
@@ -137,6 +181,8 @@ class UNet(nn.Module):
             assert len(bank) == num_bank_entries(cfg), (
                 f"bank has {len(bank)} entries, expected {num_bank_entries(cfg)}"
             )
+        if shallow:
+            n_enc0, n_dec0, _, _, _ = shallow_plan(cfg)
 
         t_emb = timestep_embedding(timesteps, cfg.model_channels, dtype=dtype)
         emb = TimestepEmbedMLP(cfg.model_channels, dtype=dtype, name="time_embed")(t_emb)
@@ -144,7 +190,13 @@ class UNet(nn.Module):
         use_mm = cfg.use_motion_modules and num_frames > 1
 
         bank_written: list[jax.Array] = []
-        bank_read = list(bank) if bank is not None else None
+        if bank is not None and shallow:
+            # shallow pass touches only the level-0 attention sites: the
+            # first n_enc0 entries (encoder) and the last n_dec0 (decoder)
+            bank_read = list(bank[:n_enc0]) + (list(bank[-n_dec0:])
+                                               if n_dec0 else [])
+        else:
+            bank_read = list(bank) if bank is not None else None
 
         def take_bank(n: int):
             if bank_read is None:
@@ -179,6 +231,8 @@ class UNet(nn.Module):
         hs = [h]
         res_i = down_i = attn_i = mm_i = 0
         for u in units:
+            if shallow and (u["level"] > 0 or u["kind"] == "down"):
+                break  # deep levels are served from the cache
             if u["kind"] == "res":
                 h = RB(u["ch"], dropout=cfg.dropout, dtype=dtype,
                              name=f"enc_res_{res_i}")(h, emb, deterministic=deterministic)
@@ -202,27 +256,40 @@ class UNet(nn.Module):
                 hs.append(h)
 
         # --- middle --------------------------------------------------------
-        mid_ch = cfg.model_channels * cfg.channel_mult[-1]
-        h = RB(mid_ch, dropout=cfg.dropout, dtype=dtype, name="mid_res_0")(
-            h, emb, deterministic=deterministic)
-        h, written = ST(
-            num_heads=cfg.num_heads, head_dim=mid_ch // cfg.num_heads,
-            depth=cfg.transformer_depth, dtype=dtype, name="mid_attn",
-        )(h, context, take_bank(cfg.transformer_depth), collect_bank,
-          bank_mask=bank_mask)
-        bank_written.extend(written)
-        h = RB(mid_ch, dropout=cfg.dropout, dtype=dtype, name="mid_res_1")(
-            h, emb, deterministic=deterministic)
+        if not shallow:
+            mid_ch = cfg.model_channels * cfg.channel_mult[-1]
+            h = RB(mid_ch, dropout=cfg.dropout, dtype=dtype, name="mid_res_0")(
+                h, emb, deterministic=deterministic)
+            h, written = ST(
+                num_heads=cfg.num_heads, head_dim=mid_ch // cfg.num_heads,
+                depth=cfg.transformer_depth, dtype=dtype, name="mid_attn",
+            )(h, context, take_bank(cfg.transformer_depth), collect_bank,
+              bank_mask=bank_mask)
+            bank_written.extend(written)
+            h = RB(mid_ch, dropout=cfg.dropout, dtype=dtype, name="mid_res_1")(
+                h, emb, deterministic=deterministic)
 
-        if pose_residuals is not None:
-            h = h + pose_residuals[-1].astype(h.dtype)
+            if pose_residuals is not None:
+                h = h + pose_residuals[-1].astype(h.dtype)
 
         # --- decoder -------------------------------------------------------
-        ds = final_ds
-        dec_i = up_i = dattn_i = dmm_i = 0
-        n_skips = len(hs)
-        for level in reversed(range(len(cfg.channel_mult))):
+        deep_feature = None
+        if shallow:
+            # cached hidden state entering the level-0 decoder; name
+            # counters jump to their full-run values so parameters match
+            h = deep_cache_in.astype(dtype)
+            ds = 1
+            _, _, dec_i, dattn_i, dmm_i = shallow_plan(cfg)
+            up_i = 0
+            levels = [0]
+        else:
+            ds = final_ds
+            dec_i = up_i = dattn_i = dmm_i = 0
+            levels = list(reversed(range(len(cfg.channel_mult))))
+        for level in levels:
             out_ch = cfg.model_channels * cfg.channel_mult[level]
+            if level == 0 and not shallow:
+                deep_feature = h
             for i in range(cfg.num_res_blocks + 1):
                 skip = hs.pop()
                 if pose_residuals is not None:
@@ -253,4 +320,6 @@ class UNet(nn.Module):
         h = GroupNorm32(name="norm_out")(h)
         h = nonlinearity(h)
         h = conv3x3(cfg.out_channels, dtype=dtype, name="conv_out", zero_init=True)(h)
+        if collect_deep:
+            return h.astype(jnp.float32), tuple(bank_written), deep_feature
         return h.astype(jnp.float32), tuple(bank_written)

@@ -219,7 +219,7 @@ class MagicPosePipeline:
                scfg.shared_noise, F, latent, pose_maps is not None, use_ref,
                decode, video, scfg.window, scfg.stride, scfg.fused_cfg,
                scfg.control_mode, scfg.cfg_interval, scfg.uncond_every,
-               scfg.pose_every)
+               scfg.pose_every, scfg.deepcache_every)
         if key not in self._jit_sample:
             def run(params, ids, uids, ref_image, pose_maps, rng):
                 ctx = self.clip.apply(params["clip"], ids).astype(jnp.float32)

@@ -86,9 +86,11 @@ def ddim_sample(
     use_pose_reuse = (
         scfg.pose_every > 1 and pose_hint is not None and model.cfg.has_pose
     )
+    use_deepcache = scfg.deepcache_every > 1
     turbo = (
         not scfg.fused_cfg
         and (use_pose_reuse
+             or use_deepcache
              or (use_cfg and (scfg.cfg_interval is not None
                               or scfg.uncond_every > 1)))
     )
@@ -207,9 +209,14 @@ def ddim_sample(
             n_active += 1
         if i_exec % max(scfg.pose_every, 1) == 0:
             pose_refresh_np[step_exec] = True
+    deep_refresh_np = np.zeros(S, dtype=bool)
+    for i_exec in range(S):
+        if i_exec % max(scfg.deepcache_every, 1) == 0:
+            deep_refresh_np[S - 1 - i_exec] = True
     active_arr = jnp.asarray(active_np)
     refresh_arr = jnp.asarray(refresh_np)
     pose_refresh_arr = jnp.asarray(pose_refresh_np)
+    deep_refresh_arr = jnp.asarray(deep_refresh_np)
 
     if use_pose_reuse:
         pose_shapes = jax.eval_shape(
@@ -223,8 +230,19 @@ def ddim_sample(
     else:
         pose0 = ()
 
+    if use_deepcache:
+        deep_shape = jax.eval_shape(
+            lambda: model.apply(
+                params, x_T, jnp.zeros((B,), jnp.int32), ctx,
+                collect_deep=True,
+            )
+        )[1]
+        deep0 = jnp.zeros(deep_shape.shape, deep_shape.dtype)
+    else:
+        deep0 = ()
+
     def body_turbo(carry, i):
-        x, step_rng, eps_u_prev, pose_prev = carry
+        x, step_rng, eps_u_prev, pose_prev, deep_prev = carry
         step = S - 1 - i
         t_scalar = ddim.timesteps[step]
         t = jnp.full((B,), t_scalar, dtype=jnp.int32)
@@ -262,14 +280,37 @@ def ddim_sample(
             pose_res = pose_prev  # ()
 
         pose_kw = dict(pose_residuals=pose_res) if use_pose_reuse else {}
-        eps_c = to_eps(
-            model.apply(
-                params, x, t, ctx,
-                bank=bank, pose_hint=pose_hint, num_frames=num_frames,
-                **pose_kw,
-            ),
-            x, t,
-        )
+        if use_deepcache:
+            def fresh_cond(_):
+                e, d = model.apply(
+                    params, x, t, ctx,
+                    bank=bank, pose_hint=pose_hint, num_frames=num_frames,
+                    collect_deep=True, **pose_kw,
+                )
+                return e, d
+
+            def reuse_cond(_):
+                e = model.apply(
+                    params, x, t, ctx,
+                    bank=bank, pose_hint=pose_hint, num_frames=num_frames,
+                    deep_cache_in=deep_prev, **pose_kw,
+                )
+                return e, deep_prev
+
+            eps_c_raw, deep = jax.lax.cond(
+                deep_refresh_arr[step], fresh_cond, reuse_cond, None
+            )
+            eps_c = to_eps(eps_c_raw, x, t)
+        else:
+            deep = deep_prev  # ()
+            eps_c = to_eps(
+                model.apply(
+                    params, x, t, ctx,
+                    bank=bank, pose_hint=pose_hint, num_frames=num_frames,
+                    **pose_kw,
+                ),
+                x, t,
+            )
 
         if use_cfg:
             def fresh_uncond(_):
@@ -307,8 +348,8 @@ def ddim_sample(
             ddim.sqrt_one_minus_alphas[step], ddim.sigmas[step],
             noise,
         )
-        return (x_prev, step_rng, eps_u, pose_res), None
+        return (x_prev, step_rng, eps_u, pose_res, deep), None
 
-    carry0 = (x_T, rng, jnp.zeros_like(x_T), pose0)
-    (x0, _, _, _), _ = jax.lax.scan(body_turbo, carry0, jnp.arange(S))
+    carry0 = (x_T, rng, jnp.zeros_like(x_T), pose0, deep0)
+    (x0, _, _, _, _), _ = jax.lax.scan(body_turbo, carry0, jnp.arange(S))
     return x0

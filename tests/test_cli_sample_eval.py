@@ -135,6 +135,6 @@ def test_cli_sample_turbo_flags(tmp_path):
           "--pose_dir", str(pose_dir), "--output", str(out),
           "--steps", "4", "--size", "32",
           "--cfg_interval", "0.15", "0.85", "--uncond_every", "2",
-          "--pose_every", "2"])
+          "--pose_every", "2", "--deepcache_every", "2"])
     frames = [f for f in os.listdir(out) if f.endswith(".png")]
     assert len(frames) == 2

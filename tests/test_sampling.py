@@ -300,3 +300,53 @@ def test_turbo_pose_reuse():
                      jax.random.PRNGKey(5), x_T, ctx, jnp.zeros_like(ctx),
                      reference_latent=ref, pose_hint=hint)
     assert np.isfinite(np.asarray(o3)).all()
+
+
+def test_deepcache():
+    """DeepCache: shallow pass fed the deep feature of the SAME (x,t)
+    reproduces the full forward exactly; the sampler's deepcache_every
+    stride runs, is deterministic, and diverges from exact."""
+    cfg = tiny_cfg()
+    model, params = init_model(cfg, B=2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    t = jnp.array([500, 500])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 16))
+    ref = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 4))
+    hint = jax.random.uniform(jax.random.PRNGKey(4), (2, 64, 64, 3))
+    bank = model.apply(params, ref, t[:1], ctx[:1], method=model.compute_bank)
+    full = model.apply(params, x, t, ctx, bank=bank, pose_hint=hint)
+    out_cd, deep = model.apply(params, x, t, ctx, bank=bank, pose_hint=hint,
+                               collect_deep=True)
+    np.testing.assert_allclose(np.asarray(out_cd), np.asarray(full), atol=1e-6)
+    shallow = model.apply(params, x, t, ctx, bank=bank, pose_hint=hint,
+                          deep_cache_in=deep)
+    np.testing.assert_allclose(np.asarray(shallow), np.asarray(full),
+                               atol=3e-5, rtol=3e-5)
+
+    sched = make_schedule(cfg.diffusion)
+    ddim = make_ddim_schedule(sched, 4)
+    x_T = jax.random.normal(jax.random.PRNGKey(5), (2, 8, 8, 4))
+    exact = ddim_sample(model, params, sched, ddim,
+                        SampleConfig(steps=4, cfg_scale=7.0),
+                        jax.random.PRNGKey(6), x_T, ctx[:1],
+                        jnp.zeros((1, 5, 16)),
+                        reference_latent=ref, pose_hint=hint)
+    scfg = SampleConfig(steps=4, cfg_scale=7.0, deepcache_every=2)
+    o1 = ddim_sample(model, params, sched, ddim, scfg, jax.random.PRNGKey(6),
+                     x_T, ctx[:1], jnp.zeros((1, 5, 16)),
+                     reference_latent=ref, pose_hint=hint)
+    o2 = ddim_sample(model, params, sched, ddim, scfg, jax.random.PRNGKey(6),
+                     x_T, ctx[:1], jnp.zeros((1, 5, 16)),
+                     reference_latent=ref, pose_hint=hint)
+    assert np.isfinite(np.asarray(o1)).all()
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    assert not np.allclose(np.asarray(o1), np.asarray(exact), atol=1e-4)
+    # combined with every other turbo flag
+    o3 = ddim_sample(model, params, sched, ddim,
+                     SampleConfig(steps=4, cfg_scale=7.0, deepcache_every=2,
+                                  pose_every=2, uncond_every=2,
+                                  cfg_interval=(0.1, 0.95)),
+                     jax.random.PRNGKey(6), x_T, ctx[:1],
+                     jnp.zeros((1, 5, 16)),
+                     reference_latent=ref, pose_hint=hint)
+    assert np.isfinite(np.asarray(o3)).all()
