@@ -139,10 +139,15 @@ class MagicPoseModel(nn.Module):
                 [x_noisy, concat_cond.astype(x_noisy.dtype)], axis=-1
             )
         if uc:
-            out, _ = self.unet(
+            res = self.unet(
                 x_noisy, timesteps, context, num_frames=num_frames,
                 deterministic=deterministic, dtype=dtype,
+                collect_deep=collect_deep, deep_cache_in=deep_cache_in,
             )
+            if collect_deep:
+                out, _, deep = res
+                return out, deep
+            out, _ = res
             return out
 
         if bank is not None and len(bank) and bank[0].shape[0] not in (1, x_noisy.shape[0]):

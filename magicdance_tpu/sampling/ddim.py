@@ -217,6 +217,14 @@ def ddim_sample(
     refresh_arr = jnp.asarray(refresh_np)
     pose_refresh_arr = jnp.asarray(pose_refresh_np)
     deep_refresh_arr = jnp.asarray(deep_refresh_np)
+    # uncond DeepCache (vanilla-SD pass gets its own deep cache): refresh
+    # its deep levels only on steps where the uncond eps is ALSO freshly
+    # computed and the deepcache stride fires; other fresh-uncond steps run
+    # shallow against the cache. Step 0 always refreshes both.
+    use_uncond_deepcache = (
+        use_deepcache and use_cfg and scfg.control_mode != "balance"
+    )
+    udeep_refresh_arr = jnp.asarray(refresh_np & deep_refresh_np)
 
     if use_pose_reuse:
         pose_shapes = jax.eval_shape(
@@ -240,9 +248,10 @@ def ddim_sample(
         deep0 = jnp.zeros(deep_shape.shape, deep_shape.dtype)
     else:
         deep0 = ()
+    deep_u0 = deep0 if use_uncond_deepcache else ()
 
     def body_turbo(carry, i):
-        x, step_rng, eps_u_prev, pose_prev, deep_prev = carry
+        x, step_rng, eps_u_prev, pose_prev, deep_prev, deep_u_prev = carry
         step = S - 1 - i
         t_scalar = ddim.timesteps[step]
         t = jnp.full((B,), t_scalar, dtype=jnp.int32)
@@ -320,13 +329,30 @@ def ddim_sample(
                         bank=bank, pose_hint=pose_hint, num_frames=num_frames,
                         **pose_kw,
                     )
-                else:
-                    eu = model.apply(params, x, t, uctx, uc=True,
-                                     num_frames=num_frames)
-                return to_eps(eu, x, t)
+                    return to_eps(eu, x, t), deep_u_prev
+                if use_uncond_deepcache:
+                    def u_full(_):
+                        e, d = model.apply(params, x, t, uctx, uc=True,
+                                           num_frames=num_frames,
+                                           collect_deep=True)
+                        return e, d
 
-            eps_u = jax.lax.cond(
-                refresh_arr[step], fresh_uncond, lambda _: eps_u_prev, None
+                    def u_shallow(_):
+                        e = model.apply(params, x, t, uctx, uc=True,
+                                        num_frames=num_frames,
+                                        deep_cache_in=deep_u_prev)
+                        return e, deep_u_prev
+
+                    eu, du = jax.lax.cond(udeep_refresh_arr[step], u_full,
+                                          u_shallow, None)
+                    return to_eps(eu, x, t), du
+                eu = model.apply(params, x, t, uctx, uc=True,
+                                 num_frames=num_frames)
+                return to_eps(eu, x, t), deep_u_prev
+
+            eps_u, deep_u = jax.lax.cond(
+                refresh_arr[step], fresh_uncond,
+                lambda _: (eps_u_prev, deep_u_prev), None
             )
             eps = jnp.where(
                 active_arr[step],
@@ -335,6 +361,7 @@ def ddim_sample(
             )
         else:
             eps_u = eps_u_prev
+            deep_u = deep_u_prev
             eps = eps_c
 
         noise = (
@@ -348,8 +375,8 @@ def ddim_sample(
             ddim.sqrt_one_minus_alphas[step], ddim.sigmas[step],
             noise,
         )
-        return (x_prev, step_rng, eps_u, pose_res, deep), None
+        return (x_prev, step_rng, eps_u, pose_res, deep, deep_u), None
 
-    carry0 = (x_T, rng, jnp.zeros_like(x_T), pose0, deep0)
-    (x0, _, _, _, _), _ = jax.lax.scan(body_turbo, carry0, jnp.arange(S))
+    carry0 = (x_T, rng, jnp.zeros_like(x_T), pose0, deep0, deep_u0)
+    (x0, _, _, _, _, _), _ = jax.lax.scan(body_turbo, carry0, jnp.arange(S))
     return x0
