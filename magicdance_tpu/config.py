@@ -194,6 +194,9 @@ class SampleConfig:
     # cut sampler compile time ~40%.
     fused_cfg: bool = False
     # ---- opt-in turbo modes (NOT reference-parity; defaults are exact) ----
+    # Implemented in the DDIM sampler (sampling/ddim.py); the PLMS /
+    # DPM-Solver++ samplers and the overlap-window video sampler ignore
+    # them and always run exact.
     # cfg_interval=(lo, hi): apply classifier-free guidance only while the
     # trajectory progress t/T is inside [lo, hi); outside, the uncond UNet
     # forward is skipped entirely (lax.cond) and eps = eps_cond. Guidance
