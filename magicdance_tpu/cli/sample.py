@@ -56,7 +56,8 @@ def build_argparser() -> argparse.ArgumentParser:
     # three combined measured +36% on v5e)
     p.add_argument("--cfg_interval", type=float, nargs=2, default=None,
                    metavar=("LO", "HI"),
-                   help="apply CFG only while t/T is in [LO, HI); skips the "
+                   help="apply CFG only while t/T is in [LO, HI] (inclusive); "
+                        "skips the "
                         "uncond forward outside (e.g. 0.15 0.85)")
     p.add_argument("--uncond_every", type=int, default=1,
                    help="refresh the uncond eps every k-th CFG-active step, "

@@ -30,6 +30,10 @@ class ModelVariant(str, enum.Enum):
     APPEARANCE = "appearance"  # stage 1: appearance bank only
     APPEARANCE_POSE = "appearance_pose"  # stage 2 / flagship MagicPose
     APPEARANCE_POSE_TEMPORAL = "appearance_pose_temporal"  # stage 3 video
+    # two classic ControlNets (pose hint + image hint) whose residual lists
+    # sum positionally into the UNet (ref cldm.py:42-52 ControlledUnetModel
+    # `image_control`, :909 ControlLDMVideo / :985 ControlLDMVideoMaskPose)
+    DUAL_CONTROL = "dual_control"
 
 
 class Parameterization(str, enum.Enum):
@@ -59,6 +63,10 @@ class UNetConfig:
     motion_num_heads: int = 8
     motion_max_len: int = 24
     motion_layers: int = 1
+    # temporal self-attention units per transformer block (ref
+    # attention_block_types = 2x "Temporal_Self", motion_module.py:94;
+    # matches public AnimateDiff mm_sd_v15 checkpoints)
+    motion_attn_blocks: int = 2
     # rematerialize each res/transformer block under jax.checkpoint
     remat: bool = True
 
@@ -141,6 +149,10 @@ class ModelConfig:
     variant: ModelVariant = ModelVariant.APPEARANCE_POSE
     unet: UNetConfig = field(default_factory=UNetConfig)
     pose_control: ControlNetConfig = field(default_factory=ControlNetConfig)
+    # second ControlNet for DUAL_CONTROL (image-hint branch; None -> same
+    # architecture as pose_control, ref cldm.py:909-946 instantiates two
+    # identical ControlNet configs)
+    image_control: Optional[ControlNetConfig] = None
     vae: VAEConfig = field(default_factory=VAEConfig)
     clip: CLIPTextConfig = field(default_factory=CLIPTextConfig)
     diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)
@@ -162,7 +174,12 @@ class ModelConfig:
             ModelVariant.POSE,
             ModelVariant.APPEARANCE_POSE,
             ModelVariant.APPEARANCE_POSE_TEMPORAL,
+            ModelVariant.DUAL_CONTROL,
         )
+
+    @property
+    def has_image_control(self) -> bool:
+        return self.variant is ModelVariant.DUAL_CONTROL
 
     @property
     def has_temporal(self) -> bool:
@@ -198,7 +215,8 @@ class SampleConfig:
     # DPM-Solver++ samplers and the overlap-window video sampler ignore
     # them and always run exact.
     # cfg_interval=(lo, hi): apply classifier-free guidance only while the
-    # trajectory progress t/T is inside [lo, hi); outside, the uncond UNet
+    # trajectory progress t/T is inside [lo, hi] (inclusive both ends);
+    # outside, the uncond UNet
     # forward is skipped entirely (lax.cond) and eps = eps_cond. Guidance
     # near t≈0 mostly burns compute and guidance at t≈T can oversaturate
     # ("Applying Guidance in a Limited Interval", Kynkäänniemi et al. 2024).

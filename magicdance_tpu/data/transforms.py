@@ -86,8 +86,20 @@ def to_hint_range(img: np.ndarray) -> np.ndarray:
 
 
 def from_model_range(img: np.ndarray) -> np.ndarray:
-    # nan_to_num: random-weight smoke runs can emit non-finite pixels; map
-    # them to black instead of tripping the uint8 cast
+    # Non-finite pixels are mapped to black so random-weight smoke runs don't
+    # trip the uint8 cast — but a real sampler producing NaN/Inf is a genuine
+    # numerical failure, so warn instead of hiding it.
+    if not np.isfinite(img).all():
+        import warnings
+
+        n_bad = int(np.size(img) - np.isfinite(img).sum())
+        warnings.warn(
+            f"from_model_range: {n_bad} non-finite pixel values mapped to "
+            "black — sampler output is numerically broken unless this is a "
+            "random-weight smoke run",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return np.clip(np.nan_to_num((img + 1.0) * 127.5), 0, 255).astype(np.uint8)
 
 

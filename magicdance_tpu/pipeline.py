@@ -147,11 +147,16 @@ class MagicPosePipeline:
         return self.params
 
     def cast_model_params(self, dtype=jnp.bfloat16) -> None:
-        """Cast denoiser params for serving (VAE/CLIP stay f32)."""
+        """Cast denoiser params for serving (VAE/CLIP stay f32).
+
+        Donates the f32 tree so its HBM is released as the cast runs —
+        without donation startup transiently holds both the f32 and bf16
+        copies of the denoiser."""
         self.params["model"] = jax.jit(
             lambda t: jax.tree.map(
                 lambda p: p.astype(dtype) if p.dtype == jnp.float32 else p, t
-            )
+            ),
+            donate_argnums=0,
         )(self.params["model"])
 
     # -- encoders ----------------------------------------------------------

@@ -39,6 +39,73 @@ from magicdance_tpu.ops.schedules import (
 )
 
 
+def build_turbo_schedules(
+    scfg: SampleConfig,
+    num_train_timesteps: int,
+    timesteps,
+    use_cfg: bool,
+):
+    """Host-side per-step masks for the turbo scan (static schedule arrays).
+
+    Returns numpy bool arrays of shape (S,), indexed by SCHEDULE position
+    (``step``; the scan executes steps in descending order, ``step = S-1-i``):
+
+      active   — CFG is applied this step (cfg_interval gate, inclusive
+                 ``[lo, hi]`` over t/num_train_timesteps)
+      refresh  — the uncond eps is freshly computed (every ``uncond_every``-th
+                 CFG-ACTIVE step)
+      pose_refresh — pose-ControlNet residuals recomputed (every
+                 ``pose_every``-th executed step)
+      deep_refresh — cond-pass DeepCache deep levels recomputed (every
+                 ``deepcache_every``-th executed step)
+      udeep_refresh — uncond-pass DeepCache deep levels recomputed. Scheduled
+                 over REFRESH-step ordinals (every
+                 ceil(deepcache_every/uncond_every)-th refresh step), NOT as
+                 ``refresh & deep_refresh``: the two schedules run on
+                 different index bases (CFG-active steps vs all steps), so
+                 their intersection can miss the first — or with unlucky
+                 strides every — fresh-uncond step, leaving the shallow pass
+                 reading the all-zeros cache init. The ordinal schedule
+                 guarantees the FIRST fresh-uncond step is always a full pass.
+    """
+    import numpy as np
+
+    S = len(timesteps)
+    ts = np.asarray(timesteps, dtype=np.float64)
+    frac = ts / float(num_train_timesteps)
+    lo, hi = scfg.cfg_interval if scfg.cfg_interval is not None else (0.0, 1.0)
+    active = (frac >= lo) & (frac <= hi)
+    if not use_cfg:
+        active[:] = False
+    refresh = np.zeros(S, dtype=bool)
+    pose_refresh = np.zeros(S, dtype=bool)
+    n_active = 0
+    for i_exec in range(S):  # scan order: descending t
+        step_exec = S - 1 - i_exec
+        if active[step_exec]:
+            if n_active % max(scfg.uncond_every, 1) == 0:
+                refresh[step_exec] = True
+            n_active += 1
+        if i_exec % max(scfg.pose_every, 1) == 0:
+            pose_refresh[step_exec] = True
+    deep_refresh = np.zeros(S, dtype=bool)
+    for i_exec in range(S):
+        if i_exec % max(scfg.deepcache_every, 1) == 0:
+            deep_refresh[S - 1 - i_exec] = True
+    udeep_refresh = np.zeros(S, dtype=bool)
+    u_stride = max(
+        -(-scfg.deepcache_every // max(scfg.uncond_every, 1)), 1
+    )  # ceil division
+    n_refresh = 0
+    for i_exec in range(S):
+        step_exec = S - 1 - i_exec
+        if refresh[step_exec]:
+            if n_refresh % u_stride == 0:
+                udeep_refresh[step_exec] = True
+            n_refresh += 1
+    return active, refresh, pose_refresh, deep_refresh, udeep_refresh
+
+
 def ddim_step(
     x: jax.Array,
     eps: jax.Array,
@@ -190,41 +257,20 @@ def ddim_sample(
     # Per-step masks are computed on the HOST (static schedule arrays), so
     # the compiled program gates the uncond forward with lax.cond — the
     # skipped branch costs nothing at runtime on TPU.
-    import numpy as np
-
-    ts = np.asarray(ddim.timesteps, dtype=np.float64)
-    frac = ts / float(sched.num_timesteps)
-    lo, hi = scfg.cfg_interval if scfg.cfg_interval is not None else (0.0, 1.0)
-    active_np = (frac >= lo) & (frac <= hi)
-    if not use_cfg:
-        active_np[:] = False
-    refresh_np = np.zeros(S, dtype=bool)
-    pose_refresh_np = np.zeros(S, dtype=bool)
-    n_active = 0
-    for i_exec in range(S):  # scan order: descending t
-        step_exec = S - 1 - i_exec
-        if active_np[step_exec]:
-            if n_active % max(scfg.uncond_every, 1) == 0:
-                refresh_np[step_exec] = True
-            n_active += 1
-        if i_exec % max(scfg.pose_every, 1) == 0:
-            pose_refresh_np[step_exec] = True
-    deep_refresh_np = np.zeros(S, dtype=bool)
-    for i_exec in range(S):
-        if i_exec % max(scfg.deepcache_every, 1) == 0:
-            deep_refresh_np[S - 1 - i_exec] = True
+    (active_np, refresh_np, pose_refresh_np, deep_refresh_np,
+     udeep_refresh_np) = build_turbo_schedules(
+        scfg, sched.num_timesteps, ddim.timesteps, use_cfg)
     active_arr = jnp.asarray(active_np)
     refresh_arr = jnp.asarray(refresh_np)
     pose_refresh_arr = jnp.asarray(pose_refresh_np)
     deep_refresh_arr = jnp.asarray(deep_refresh_np)
-    # uncond DeepCache (vanilla-SD pass gets its own deep cache): refresh
-    # its deep levels only on steps where the uncond eps is ALSO freshly
-    # computed and the deepcache stride fires; other fresh-uncond steps run
-    # shallow against the cache. Step 0 always refreshes both.
+    # uncond DeepCache (vanilla-SD pass gets its own deep cache): full passes
+    # scheduled over refresh-step ordinals so the first fresh-uncond step
+    # always populates the cache — see build_turbo_schedules.
     use_uncond_deepcache = (
         use_deepcache and use_cfg and scfg.control_mode != "balance"
     )
-    udeep_refresh_arr = jnp.asarray(refresh_np & deep_refresh_np)
+    udeep_refresh_arr = jnp.asarray(udeep_refresh_np)
 
     if use_pose_reuse:
         pose_shapes = jax.eval_shape(

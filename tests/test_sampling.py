@@ -350,3 +350,113 @@ def test_deepcache():
                      jnp.zeros((1, 5, 16)),
                      reference_latent=ref, pose_hint=hint)
     assert np.isfinite(np.asarray(o3)).all()
+
+
+def test_turbo_schedule_uncond_deepcache_alignment():
+    """Regression (round-1 advisor, high): the uncond DeepCache refresh
+    schedule was `refresh & deep_refresh`, intersecting schedules indexed
+    over CFG-active steps vs ALL steps. With an odd inactive prefix (e.g.
+    cfg_interval excluding the earliest executed steps) and
+    uncond_every=2/deepcache_every=2 the strides never align, so EVERY
+    fresh-uncond step ran shallow against the all-zeros cache init. The
+    fixed schedule fires over refresh-step ordinals and must always make
+    the first fresh-uncond step a full pass."""
+    from magicdance_tpu.sampling.ddim import build_turbo_schedules
+
+    S, T = 8, 1000
+    timesteps = np.arange(1, T, T // S)[:S]  # [1, 126, ..., 876]
+
+    # the pathological case: frac(876)=0.876 > hi=0.85 -> inactive prefix 1
+    scfg = SampleConfig(steps=S, cfg_scale=7.0, cfg_interval=(0.0, 0.85),
+                        uncond_every=2, deepcache_every=2)
+    active, refresh, _, deep, udeep = build_turbo_schedules(
+        scfg, T, timesteps, use_cfg=True)
+    assert not active[S - 1]          # first executed step is CFG-inactive
+    assert not (refresh & deep).any()  # old formula => empty schedule (bug)
+    assert udeep.any()
+    # first refresh step in execution order must be a full uncond pass
+    exec_order = [S - 1 - i for i in range(S)]
+    first_refresh = next(s for s in exec_order if refresh[s])
+    assert udeep[first_refresh]
+
+    # invariants across a config sweep
+    for lo, hi in ((0.0, 1.0), (0.15, 0.85), (0.0, 0.6), (0.3, 0.95)):
+        for ue in (1, 2, 3):
+            for de in (1, 2, 3, 5):
+                scfg = SampleConfig(steps=S, cfg_scale=7.0,
+                                    cfg_interval=(lo, hi),
+                                    uncond_every=ue, deepcache_every=de)
+                _, refresh, _, _, udeep = build_turbo_schedules(
+                    scfg, T, timesteps, use_cfg=True)
+                # udeep fires only on refresh steps
+                assert not (udeep & ~refresh).any()
+                refresh_steps = [s for s in exec_order if refresh[s]]
+                if refresh_steps:
+                    assert udeep[refresh_steps[0]]
+                    # cadence: every ceil(de/ue)-th refresh step
+                    stride = -(-de // ue)
+                    fired = [i for i, s in enumerate(refresh_steps)
+                             if udeep[s]]
+                    assert fired == list(range(0, len(refresh_steps), stride))
+
+
+def test_turbo_uncond_deepcache_matches_python_oracle():
+    """The full turbo scan (deepcache + uncond deepcache + cfg_interval with
+    an inactive prefix + uncond_every) must match a step-by-step Python
+    implementation of the intended semantics."""
+    from magicdance_tpu.sampling.ddim import build_turbo_schedules, ddim_step
+
+    cfg = tiny_cfg()
+    model, params = init_model(cfg, B=2)
+    sched = make_schedule(cfg.diffusion)
+    S = 6
+    ddim = make_ddim_schedule(sched, S)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 16))
+    uctx = jnp.zeros_like(ctx)
+    ref = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 4))
+    hint = jax.random.uniform(jax.random.PRNGKey(4), (2, 64, 64, 3))
+
+    frac = np.asarray(ddim.timesteps, np.float64) / sched.num_timesteps
+    # choose hi so the first executed (largest-t) step is inactive
+    hi = float((frac[-1] + frac[-2]) / 2)
+    scfg = SampleConfig(steps=S, cfg_scale=7.0, cfg_interval=(0.0, hi),
+                        uncond_every=2, deepcache_every=2)
+    out = ddim_sample(model, params, sched, ddim, scfg, jax.random.PRNGKey(5),
+                      x_T, ctx, uctx, reference_latent=ref, pose_hint=hint)
+
+    active, refresh, _, deep_refresh, udeep = build_turbo_schedules(
+        scfg, sched.num_timesteps, np.asarray(ddim.timesteps), use_cfg=True)
+    B = 2
+    ctx_b = jnp.broadcast_to(ctx, (B,) + ctx.shape[1:])
+    uctx_b = jnp.broadcast_to(uctx, (B,) + uctx.shape[1:])
+    x = x_T
+    eps_u = jnp.zeros_like(x_T)
+    deep = deep_u = None
+    for i in range(S):
+        step = S - 1 - i
+        t = jnp.full((B,), int(ddim.timesteps[step]), jnp.int32)
+        t1 = t[:1]
+        bank = model.apply(params, ref, t1, ctx, method=model.compute_bank)
+        if deep_refresh[step]:
+            eps_c, deep = model.apply(params, x, t, ctx_b, bank=bank,
+                                      pose_hint=hint, collect_deep=True)
+        else:
+            eps_c = model.apply(params, x, t, ctx_b, bank=bank,
+                                pose_hint=hint, deep_cache_in=deep)
+        if refresh[step]:
+            if udeep[step]:
+                eps_u, deep_u = model.apply(params, x, t, uctx_b, uc=True,
+                                            collect_deep=True)
+            else:
+                eps_u = model.apply(params, x, t, uctx_b, uc=True,
+                                    deep_cache_in=deep_u)
+        if active[step]:
+            eps = eps_u + scfg.cfg_scale * (eps_c - eps_u)
+        else:
+            eps = eps_c
+        x, _ = ddim_step(x, eps, ddim.alphas[step], ddim.alphas_prev[step],
+                         ddim.sqrt_one_minus_alphas[step], ddim.sigmas[step],
+                         jnp.zeros_like(x))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x),
+                               atol=2e-5, rtol=2e-5)
