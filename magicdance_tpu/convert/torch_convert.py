@@ -463,6 +463,106 @@ def convert_magicpose_state(
     return out
 
 
+def _motion_module(sd, p, layers: int, attns: int) -> Dict[str, Any]:
+    """One VanillaTemporalModule (`{p}.temporal_transformer.*`) → our
+    TemporalTransformer tree (ref motion_module.py:86-209). The pos_encoder
+    `pe` buffer is not converted — it is a deterministic sinusoid our module
+    recomputes (motion_module.py:227-241)."""
+    tt = f"{p}.temporal_transformer"
+    out: Dict[str, Any] = {
+        "norm": _gn32(sd, f"{tt}.norm"),
+        "proj_in": _linear(sd, f"{tt}.proj_in"),
+        "proj_out": _linear(sd, f"{tt}.proj_out"),
+    }
+    for i in range(layers):
+        b = f"{tt}.transformer_blocks.{i}"
+        for j in range(attns):
+            a = f"{b}.attention_blocks.{j}"
+            out[f"attn_{i}_{j}"] = {
+                "to_q": _linear(sd, f"{a}.to_q"),
+                "to_k": _linear(sd, f"{a}.to_k"),
+                "to_v": _linear(sd, f"{a}.to_v"),
+                "to_out": _linear(sd, f"{a}.to_out.0"),
+            }
+            out[f"norm_attn_{i}_{j}"] = _norm(sd, f"{b}.norms.{j}")
+        out[f"norm_ff_{i}"] = _norm(sd, f"{b}.ff_norm")
+        out[f"ff_{i}"] = {
+            "proj_in": _linear(sd, f"{b}.ff.net.0.proj"),
+            "proj_out": _linear(sd, f"{b}.ff.net.2"),
+        }
+    return out
+
+
+def convert_motion_modules(
+    sd: Mapping[str, np.ndarray], cfg: UNetConfig
+) -> Dict[str, Any]:
+    """AnimateDiff motion-module checkpoint → {enc_motion_k, dec_motion_k}.
+
+    Implements the reference's `merge_state_dict_mm` key remap
+    (train_tiktok.py:146-192): public AnimateDiff checkpoints (mm_sd_v15
+    layout) store modules as `down_blocks.{i}.motion_modules.{j}` /
+    `up_blocks.{i}.motion_modules.{j}`, mapped to
+    `input_blocks_motion_module.{i*R+j}` / `output_blocks_motion_module.
+    {i*(R+1)+j}` with R = num_res_blocks (the reference hardcodes R=2).
+    Mid-block motion modules, when present, are skipped exactly as the
+    reference skips them. Checkpoints already in the reference's own
+    `*_blocks_motion_module.{k}.0` layout are accepted too.
+    """
+    layers = cfg.motion_layers
+    attns = cfg.motion_attn_blocks
+    out: Dict[str, Any] = {}
+    keys = list(sd.keys())
+    is_animatediff = any(".motion_modules." in k for k in keys)
+    if is_animatediff:
+        R = cfg.num_res_blocks
+        for i in range(len(cfg.channel_mult)):
+            for j in range(R):
+                p = f"down_blocks.{i}.motion_modules.{j}"
+                if any(k.startswith(p) for k in keys):
+                    out[f"enc_motion_{i * R + j}"] = _motion_module(
+                        sd, p, layers, attns)
+            for j in range(R + 1):
+                p = f"up_blocks.{i}.motion_modules.{j}"
+                if any(k.startswith(p) for k in keys):
+                    out[f"dec_motion_{i * (R + 1) + j}"] = _motion_module(
+                        sd, p, layers, attns)
+    else:
+        n_enc = sum(1 for u in unet_plan(cfg)[0] if u["kind"] == "res")
+        n_dec = (cfg.num_res_blocks + 1) * len(cfg.channel_mult)
+        for k_idx in range(n_enc):
+            p = f"model.diffusion_model.input_blocks_motion_module.{k_idx}.0"
+            if not any(k.startswith(p) for k in keys):
+                p = f"input_blocks_motion_module.{k_idx}.0"
+            if any(k.startswith(p) for k in keys):
+                out[f"enc_motion_{k_idx}"] = _motion_module(sd, p, layers, attns)
+        for k_idx in range(n_dec):
+            p = f"model.diffusion_model.output_blocks_motion_module.{k_idx}.0"
+            if not any(k.startswith(p) for k in keys):
+                p = f"output_blocks_motion_module.{k_idx}.0"
+            if any(k.startswith(p) for k in keys):
+                out[f"dec_motion_{k_idx}"] = _motion_module(sd, p, layers, attns)
+    if not out:
+        raise KeyError("no motion-module keys found in checkpoint")
+    return out
+
+
+def merge_motion_state(
+    unet_tree: Dict[str, Any], mm_tree: Dict[str, Any]
+) -> Dict[str, Any]:
+    """Overlay converted motion modules onto a UNet param tree (the
+    `merge_state_dict_mm` merge step, ref train_tiktok.py:146): the temporal
+    UNet initialized from an image checkpoint + AnimateDiff motion weights."""
+    merged = dict(unet_tree)
+    for name, sub in mm_tree.items():
+        if name in merged:
+            cur = dict(merged[name])
+            cur.update(sub)
+            merged[name] = cur
+        else:
+            merged[name] = sub
+    return merged
+
+
 def expand_conv_in(unet_tree: Dict[str, Any], new_in_channels: int) -> Dict[str, Any]:
     """Zero-pad the UNet input conv for extra conditioning channels — the
     mask-variant first-conv surgery (ref train_tiktok.py:251-271: weights for

@@ -343,12 +343,17 @@ class TemporalTransformer(nn.Module):
 
     Operates on (B, F, H, W, C); attention runs over the frame axis with the
     spatial axes folded into batch ((B·H·W, F, C), ref motion_module.py:277).
+    Each transformer block holds `attns_per_block` temporal self-attention
+    units then one GEGLU FF (ref attention_block_types defaults to two
+    "Temporal_Self" entries, motion_module.py:94,169 — matching the public
+    AnimateDiff mm_sd_v15 checkpoints so their weights convert 1:1).
     proj_out is zero-initialized so the module starts as identity.
     """
 
     num_heads: int = 8
     max_len: int = 24
     num_layers: int = 1
+    attns_per_block: int = 2
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -360,17 +365,24 @@ class TemporalTransformer(nn.Module):
         z = dense(c, dtype=self.dtype, name="proj_in")(z)
         head_dim = c // self.num_heads
         for i in range(self.num_layers):
-            # temporal self-attention with sinusoidal frame PE
-            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32,
-                             name=f"norm_attn_{i}")(z.astype(jnp.float32)).astype(z.dtype)
-            h = h.reshape(b, f, hh * ww, c).transpose(0, 2, 1, 3).reshape(b * hh * ww, f, c)
-            h = SinusoidalPositionalEncoding(max_len=self.max_len, name=f"pe_{i}")(h)
-            attn = CrossAttention(
-                num_heads=self.num_heads, head_dim=head_dim, dtype=self.dtype,
-                name=f"attn_{i}",
-            )(h)
-            attn = attn.reshape(b, hh * ww, f, c).transpose(0, 2, 1, 3).reshape(b * f, hh * ww, c)
-            z = z + attn
+            for j in range(self.attns_per_block):
+                # temporal self-attention with sinusoidal frame PE (applied
+                # to the normed input inside each attention unit, ref
+                # motion_module.py:279-280)
+                h = nn.LayerNorm(
+                    epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32,
+                    name=f"norm_attn_{i}_{j}",
+                )(z.astype(jnp.float32)).astype(z.dtype)
+                h = h.reshape(b, f, hh * ww, c).transpose(0, 2, 1, 3)
+                h = h.reshape(b * hh * ww, f, c)
+                h = SinusoidalPositionalEncoding(
+                    max_len=self.max_len, name=f"pe_{i}_{j}")(h)
+                attn = CrossAttention(
+                    num_heads=self.num_heads, head_dim=head_dim,
+                    dtype=self.dtype, name=f"attn_{i}_{j}",
+                )(h)
+                attn = attn.reshape(b, hh * ww, f, c).transpose(0, 2, 1, 3)
+                z = z + attn.reshape(b * f, hh * ww, c)
             h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32,
                              name=f"norm_ff_{i}")(z.astype(jnp.float32)).astype(z.dtype)
             z = z + GEGLUFeedForward(dim=c, dtype=self.dtype, name=f"ff_{i}")(h)

@@ -77,51 +77,61 @@ def unet_plan(cfg: UNetConfig):
     return units, skip_ch, ds
 
 
-def num_bank_entries(cfg: UNetConfig) -> int:
-    """Bank sites in traversal order: encoder + middle + decoder."""
-    units, _, _ = unet_plan(cfg)
-    enc = sum(1 for u in units if u["attn"])
-    mid = 1
-    dec = 0
+def decoder_plan(cfg: UNetConfig):
+    """Decoder units in traversal order (deepest level first), with the
+    module names the forward pass uses. THE single source of truth for
+    decoder bookkeeping: the forward loop, `num_bank_entries` and
+    `shallow_plan` all derive from it, so bank ordering can never desync
+    from the traversal.
+
+    Each unit: {level, ch, attn, ds, upsample, name_res, name_attn(|None),
+    name_mm}.
+    """
+    units = []
     ds = max(1, 2 ** (len(cfg.channel_mult) - 1))
+    attn_i = 0
     for level in reversed(range(len(cfg.channel_mult))):
-        for _ in range(cfg.num_res_blocks + 1):
-            if ds in cfg.attention_resolutions:
-                dec += 1
+        for i in range(cfg.num_res_blocks + 1):
+            attn = ds in cfg.attention_resolutions
+            idx = len(units)
+            units.append(dict(
+                level=level,
+                ch=cfg.model_channels * cfg.channel_mult[level],
+                attn=attn,
+                ds=ds,
+                upsample=(level != 0 and i == cfg.num_res_blocks),
+                name_res=f"dec_res_{idx}",
+                name_attn=f"dec_attn_{attn_i}" if attn else None,
+                name_mm=f"dec_motion_{idx}",
+            ))
+            if attn:
+                attn_i += 1
         if level != 0:
             ds //= 2
-    return (enc + mid + dec) * cfg.transformer_depth
+    return units
+
+
+def num_bank_entries(cfg: UNetConfig) -> int:
+    """Bank sites in traversal order: encoder + middle + decoder."""
+    enc = sum(1 for u in unet_plan(cfg)[0] if u["attn"])
+    dec = sum(1 for u in decoder_plan(cfg) if u["attn"])
+    return (enc + 1 + dec) * cfg.transformer_depth
 
 
 def shallow_plan(cfg: UNetConfig):
     """Static bookkeeping for the DeepCache shallow pass (level-0 only).
 
-    Returns (n_enc0_bank, n_dec0_bank, start_dec, start_dattn, start_dmm):
-    bank entries consumed by the level-0 encoder/decoder attention sites,
-    and the full-run name-counter offsets at which the level-0 decoder
-    units start (so shallow-pass module names match the full pass and
-    reuse the same parameters).
+    Returns (n_enc0_bank, n_dec0_bank): bank entries consumed by the
+    level-0 encoder/decoder attention sites. (Decoder module names come
+    straight from `decoder_plan`, so no name-counter offsets are needed.)
     """
-    units, _, final_ds = unet_plan(cfg)
-    n_enc0 = sum(1 for u in units
+    enc_units, _, _ = unet_plan(cfg)
+    n_enc0 = sum(1 for u in enc_units
                  if u["kind"] == "res" and u["attn"] and u["level"] == 0)
-    start_dec = start_dattn = start_dmm = 0
-    n_dec0 = 0
-    ds = final_ds
-    for level in reversed(range(len(cfg.channel_mult))):
-        for _ in range(cfg.num_res_blocks + 1):
-            if level == 0:
-                if ds in cfg.attention_resolutions:
-                    n_dec0 += 1
-            else:
-                start_dec += 1
-                start_dmm += 1
-                if ds in cfg.attention_resolutions:
-                    start_dattn += 1
-        if level != 0:
-            ds //= 2
+    n_dec0 = sum(1 for u in decoder_plan(cfg)
+                 if u["level"] == 0 and u["attn"])
     d = cfg.transformer_depth
-    return n_enc0 * d, n_dec0 * d, start_dec, start_dattn, start_dmm
+    return n_enc0 * d, n_dec0 * d
 
 
 class UNet(nn.Module):
@@ -182,7 +192,7 @@ class UNet(nn.Module):
                 f"bank has {len(bank)} entries, expected {num_bank_entries(cfg)}"
             )
         if shallow:
-            n_enc0, n_dec0, _, _, _ = shallow_plan(cfg)
+            n_enc0, n_dec0 = shallow_plan(cfg)
 
         t_emb = timestep_embedding(timesteps, cfg.model_channels, dtype=dtype)
         emb = TimestepEmbedMLP(cfg.model_channels, dtype=dtype, name="time_embed")(t_emb)
@@ -211,13 +221,17 @@ class UNet(nn.Module):
                 # checkpoint layout is frame-count independent
                 return TT(
                     num_heads=cfg.motion_num_heads, max_len=cfg.motion_max_len,
-                    num_layers=cfg.motion_layers, dtype=dtype, name=name,
+                    num_layers=cfg.motion_layers,
+                    attns_per_block=cfg.motion_attn_blocks,
+                    dtype=dtype, name=name,
                 )(h[:, None])[:, 0]
             b2, hh, ww, c = h.shape
             hv = h.reshape(b2 // num_frames, num_frames, hh, ww, c)
             hv = TT(
                 num_heads=cfg.motion_num_heads, max_len=cfg.motion_max_len,
-                num_layers=cfg.motion_layers, dtype=dtype, name=name,
+                num_layers=cfg.motion_layers,
+                attns_per_block=cfg.motion_attn_blocks,
+                dtype=dtype, name=name,
             )(hv)
             return hv.reshape(b2, hh, ww, c)
 
@@ -273,46 +287,41 @@ class UNet(nn.Module):
                 h = h + pose_residuals[-1].astype(h.dtype)
 
         # --- decoder -------------------------------------------------------
+        # one enumeration (decoder_plan) drives the loop; the shallow pass
+        # keeps only the level-0 units, whose names are identical to the
+        # full pass by construction, so parameters always match
         deep_feature = None
+        dec_units = decoder_plan(cfg)
         if shallow:
-            # cached hidden state entering the level-0 decoder; name
-            # counters jump to their full-run values so parameters match
+            # cached hidden state entering the level-0 decoder
             h = deep_cache_in.astype(dtype)
-            ds = 1
-            _, _, dec_i, dattn_i, dmm_i = shallow_plan(cfg)
-            up_i = 0
-            levels = [0]
-        else:
-            ds = final_ds
-            dec_i = up_i = dattn_i = dmm_i = 0
-            levels = list(reversed(range(len(cfg.channel_mult))))
-        for level in levels:
-            out_ch = cfg.model_channels * cfg.channel_mult[level]
-            if level == 0 and not shallow:
-                deep_feature = h
-            for i in range(cfg.num_res_blocks + 1):
-                skip = hs.pop()
-                if pose_residuals is not None:
-                    skip = skip + pose_residuals[len(hs)].astype(skip.dtype)
-                h = jnp.concatenate([h, skip], axis=-1)
-                h = RB(out_ch, dropout=cfg.dropout, dtype=dtype,
-                             name=f"dec_res_{dec_i}")(h, emb, deterministic=deterministic)
-                dec_i += 1
-                if ds in cfg.attention_resolutions:
-                    h, written = ST(
-                        num_heads=cfg.num_heads, head_dim=out_ch // cfg.num_heads,
-                        depth=cfg.transformer_depth, dtype=dtype,
-                        name=f"dec_attn_{dattn_i}",
-                    )(h, context, take_bank(cfg.transformer_depth),
-                      collect_bank, bank_mask=bank_mask)
-                    dattn_i += 1
-                    bank_written.extend(written)
-                h = motion(h, f"dec_motion_{dmm_i}")
-                dmm_i += 1
-                if level != 0 and i == cfg.num_res_blocks:
-                    h = Upsample(out_ch, dtype=dtype, name=f"dec_up_{up_i}")(h)
-                    up_i += 1
-                    ds //= 2
+            dec_units = [u for u in dec_units if u["level"] == 0]
+        up_i = 0
+        seen_level0 = False
+        for u in dec_units:
+            out_ch = u["ch"]
+            if u["level"] == 0 and not seen_level0:
+                seen_level0 = True
+                if not shallow:
+                    deep_feature = h
+            skip = hs.pop()
+            if pose_residuals is not None:
+                skip = skip + pose_residuals[len(hs)].astype(skip.dtype)
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = RB(out_ch, dropout=cfg.dropout, dtype=dtype,
+                         name=u["name_res"])(h, emb, deterministic=deterministic)
+            if u["attn"]:
+                h, written = ST(
+                    num_heads=cfg.num_heads, head_dim=out_ch // cfg.num_heads,
+                    depth=cfg.transformer_depth, dtype=dtype,
+                    name=u["name_attn"],
+                )(h, context, take_bank(cfg.transformer_depth),
+                  collect_bank, bank_mask=bank_mask)
+                bank_written.extend(written)
+            h = motion(h, u["name_mm"])
+            if u["upsample"]:
+                h = Upsample(out_ch, dtype=dtype, name=f"dec_up_{up_i}")(h)
+                up_i += 1
         assert not hs, "skip bookkeeping mismatch"
         if bank_read is not None:
             assert not bank_read, "unconsumed bank entries"

@@ -246,3 +246,128 @@ def test_vae_conversion_parity():
     np.testing.assert_allclose(np.asarray(dec),
                                dec_ref.permute(0, 2, 3, 1).numpy(),
                                atol=5e-4, rtol=5e-4)
+
+
+def test_motion_module_conversion_parity():
+    """AnimateDiff mm-layout keys -> TemporalTransformer params reproduce the
+    torch forward (the merge_state_dict_mm capability,
+    ref train_tiktok.py:146-192)."""
+    from magicdance_tpu.convert.torch_convert import (
+        convert_motion_modules,
+        merge_motion_state,
+    )
+    from magicdance_tpu.models.layers import TemporalTransformer
+    from torch_ref import TorchMotionModule
+
+    torch.manual_seed(1)
+    c, heads, f, hw, b = 64, 2, 4, 8, 2
+    mod = TorchMotionModule(c, heads, layers=1, attns=2)
+    mod.eval()
+
+    sd = prefixed_state(mod, "down_blocks.0.motion_modules.0")
+    cfg = UNetConfig(**TINY, use_motion_modules=True, motion_num_heads=heads)
+    tree = convert_motion_modules(sd, cfg)
+    assert list(tree.keys()) == ["enc_motion_0"]
+
+    tt = TemporalTransformer(num_heads=heads, num_layers=1, attns_per_block=2,
+                             dtype=jnp.float32)
+    x = np.random.RandomState(0).randn(b, f, hw, hw, c).astype(np.float32)
+    out_jax = tt.apply({"params": tree["enc_motion_0"]}, jnp.asarray(x))
+
+    xt = torch.tensor(
+        x.transpose(0, 1, 4, 2, 3).reshape(b * f, c, hw, hw))
+    with torch.no_grad():
+        out_t = mod(xt, video_length=f)
+    out_t = (out_t.reshape(b, f, c, hw, hw).permute(0, 1, 3, 4, 2)
+             .numpy())
+    np.testing.assert_allclose(np.asarray(out_jax), out_t,
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_motion_module_site_mapping():
+    """down (i,j) -> enc_motion_{i*R+j}; up (i,j) -> dec_motion_{i*(R+1)+j};
+    mid_block modules skipped; ref-native *_blocks_motion_module layout also
+    accepted (ref train_tiktok.py:146-192)."""
+    from magicdance_tpu.convert.torch_convert import (
+        convert_motion_modules,
+        merge_motion_state,
+    )
+    from torch_ref import TorchMotionModule
+
+    torch.manual_seed(2)
+    cfg = UNetConfig(**TINY, use_motion_modules=True, motion_num_heads=2)
+    R = cfg.num_res_blocks  # 1 in TINY
+
+    sd = {}
+    sd.update(prefixed_state(TorchMotionModule(32, 2),
+                             "down_blocks.0.motion_modules.0"))
+    sd.update(prefixed_state(TorchMotionModule(64, 2),
+                             "down_blocks.1.motion_modules.0"))
+    sd.update(prefixed_state(TorchMotionModule(64, 2),
+                             "up_blocks.0.motion_modules.1"))
+    sd.update(prefixed_state(TorchMotionModule(64, 2),
+                             "mid_block.motion_modules.0"))  # must be skipped
+    tree = convert_motion_modules(sd, cfg)
+    assert sorted(tree.keys()) == [
+        "dec_motion_1", "enc_motion_0", "enc_motion_1"]
+
+    # reference-native layout
+    sd2 = prefixed_state(
+        TorchMotionModule(32, 2),
+        "model.diffusion_model.input_blocks_motion_module.1.0")
+    tree2 = convert_motion_modules(sd2, cfg)
+    assert list(tree2.keys()) == ["enc_motion_1"]
+
+    # merge overlays onto a unet tree without touching other params
+    base = {"conv_in": {"kernel": np.zeros((3, 3, 4, 32))},
+            "enc_motion_0": {"stale": np.zeros(1)}}
+    merged = merge_motion_state(base, tree)
+    assert "kernel" in merged["conv_in"]
+    assert "proj_in" in merged["enc_motion_0"]
+    assert "stale" in merged["enc_motion_0"]  # update, not replace
+
+
+def test_motion_module_end_to_end_in_unet():
+    """Converted motion weights drop into the temporal UNet tree and the
+    forward runs (stage-3 init path: image ckpt + AnimateDiff mm)."""
+    from magicdance_tpu.convert.torch_convert import (
+        convert_motion_modules,
+        convert_unet,
+        merge_motion_state,
+        to_jax,
+    )
+    from torch_ref import TorchMotionModule, TorchUNet
+
+    torch.manual_seed(3)
+    cfg = UNetConfig(**TINY, use_motion_modules=True, motion_num_heads=2)
+    tunet = TorchUNet(**{k: v for k, v in TINY.items() if k != "num_heads"},
+                      heads=TINY["num_heads"])
+    sd = prefixed_state(tunet, "model.diffusion_model")
+    unet_tree = convert_unet(sd, "model.diffusion_model", cfg)
+
+    mm_sd = {}
+    units = [(0, 0, 32), (1, 0, 64)]  # (level, j, channels) per TINY plan
+    for lvl, j, ch in units:
+        mm_sd.update(prefixed_state(TorchMotionModule(ch, 2),
+                                    f"down_blocks.{lvl}.motion_modules.{j}"))
+    for lvl, j, ch in [(0, 0, 64), (0, 1, 64), (1, 0, 32), (1, 1, 32)]:
+        mm_sd.update(prefixed_state(TorchMotionModule(ch, 2),
+                                    f"up_blocks.{lvl}.motion_modules.{j}"))
+    merged = merge_motion_state(unet_tree, convert_motion_modules(mm_sd, cfg))
+
+    unet = UNet(cfg)
+    B, F = 2, 2
+    x = jnp.zeros((B * F, 8, 8, 4))
+    t = jnp.zeros((B * F,), jnp.int32)
+    ctx = jnp.zeros((B * F, 5, 16))
+    # init to learn the expected tree, then swap in converted params
+    ref_params = unet.init(jax.random.PRNGKey(0), x, t, ctx, num_frames=F,
+                           dtype=jnp.float32)
+    from flax import traverse_util
+
+    want = set(traverse_util.flatten_dict(ref_params["params"]).keys())
+    got = set(traverse_util.flatten_dict(to_jax(merged)).keys())
+    assert want == got, (sorted(want - got)[:5], sorted(got - want)[:5])
+    out, _ = unet.apply({"params": to_jax(merged)}, x, t, ctx, num_frames=F,
+                        dtype=jnp.float32)
+    assert np.isfinite(np.asarray(out)).all()

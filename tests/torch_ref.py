@@ -522,3 +522,97 @@ class TorchVAE(nn.Module):
 
     def decode(self, z):
         return self.decoder(self.post_quant_conv(z))
+
+
+# ---------------------------------------------------------------------------
+# AnimateDiff-style motion module oracle (state_dict keys match the public
+# mm_sd_v15 layout that the reference's merge_state_dict_mm consumes,
+# ref train_tiktok.py:146-192 / motion_module.py:86-331). Written from the
+# AnimateDiff architecture spec; used only to test the converter.
+# ---------------------------------------------------------------------------
+
+
+class MotionPositionalEncoding(nn.Module):
+    def __init__(self, d_model, max_len=24):
+        super().__init__()
+        position = torch.arange(max_len).unsqueeze(1)
+        div_term = torch.exp(
+            torch.arange(0, d_model, 2) * (-math.log(10000.0) / d_model))
+        pe = torch.zeros(1, max_len, d_model)
+        pe[0, :, 0::2] = torch.sin(position * div_term)
+        pe[0, :, 1::2] = torch.cos(position * div_term)
+        self.register_buffer("pe", pe)
+
+    def forward(self, x):
+        return x + self.pe[:, : x.size(1)]
+
+
+class VersatileAttention(CrossAttention):
+    """Temporal self-attention: (b f) d c -> (b d) f c, PE, attend over f."""
+
+    def __init__(self, dim, heads, dim_head, max_len=24):
+        super().__init__(dim, dim, heads, dim_head)
+        self.pos_encoder = MotionPositionalEncoding(dim, max_len=max_len)
+
+    def forward(self, x, video_length=None):
+        bf, d, c = x.shape
+        b = bf // video_length
+        h = x.view(b, video_length, d, c).transpose(1, 2).reshape(
+            b * d, video_length, c)
+        h = self.pos_encoder(h)
+        h = super().forward(h)
+        return h.view(b, d, video_length, c).transpose(1, 2).reshape(bf, d, c)
+
+
+class MotionTransformerBlock(nn.Module):
+    def __init__(self, dim, heads, dim_head, attns=2, max_len=24):
+        super().__init__()
+        self.attention_blocks = nn.ModuleList(
+            [VersatileAttention(dim, heads, dim_head, max_len)
+             for _ in range(attns)])
+        self.norms = nn.ModuleList(
+            [nn.LayerNorm(dim) for _ in range(attns)])
+        self.ff = FeedForward(dim)
+        self.ff_norm = nn.LayerNorm(dim)
+
+    def forward(self, x, video_length):
+        for attn, norm in zip(self.attention_blocks, self.norms):
+            x = attn(norm(x), video_length=video_length) + x
+        return self.ff(self.ff_norm(x)) + x
+
+
+class MotionTemporalTransformer(nn.Module):
+    def __init__(self, c, heads, layers=1, attns=2, max_len=24):
+        super().__init__()
+        self.norm = nn.GroupNorm(32, c, eps=1e-6, affine=True)
+        self.proj_in = nn.Linear(c, c)
+        self.transformer_blocks = nn.ModuleList(
+            [MotionTransformerBlock(c, heads, c // heads, attns, max_len)
+             for _ in range(layers)])
+        self.proj_out = nn.Linear(c, c)
+
+    def forward(self, x, video_length):
+        # x: (b f, c, h, w)
+        bf, c, hh, ww = x.shape
+        residual = x
+        h = self.norm(x)
+        h = h.permute(0, 2, 3, 1).reshape(bf, hh * ww, c)
+        h = self.proj_in(h)
+        for block in self.transformer_blocks:
+            h = block(h, video_length)
+        h = self.proj_out(h)
+        h = h.reshape(bf, hh, ww, c).permute(0, 3, 1, 2)
+        return h + residual
+
+
+class TorchMotionModule(nn.Module):
+    """VanillaTemporalModule equivalent: wraps the temporal transformer under
+    the `temporal_transformer.` key prefix the checkpoints use."""
+
+    def __init__(self, c, heads, layers=1, attns=2, max_len=24):
+        super().__init__()
+        self.temporal_transformer = MotionTemporalTransformer(
+            c, heads, layers, attns, max_len)
+
+    def forward(self, x, video_length):
+        return self.temporal_transformer(x, video_length)
