@@ -62,6 +62,11 @@ class MagicPoseModel(nn.Module):
             self.appearance_unet = UNet(appearance_unet_config(self.cfg))
         if self.cfg.has_pose:
             self.pose_control = PoseControlNet(self.cfg.pose_control)
+        if self.cfg.has_image_control:
+            # second classic ControlNet (image-hint branch); residual lists
+            # sum positionally into the UNet (ref cldm.py:42-52, :909)
+            self.image_control_model = PoseControlNet(
+                self.cfg.image_control or self.cfg.pose_control)
 
     def compute_bank(
         self,
@@ -109,6 +114,7 @@ class MagicPoseModel(nn.Module):
         *,
         reference_noisy: Optional[jax.Array] = None,
         pose_hint: Optional[jax.Array] = None,
+        image_hint: Optional[jax.Array] = None,
         bank: Optional[Bank] = None,
         uc: bool = False,
         num_frames: int = 1,
@@ -123,6 +129,9 @@ class MagicPoseModel(nn.Module):
         Either pass `reference_noisy` (bank computed inline, training path) or
         a precomputed `bank` (inference path where one reference serves many
         frames/steps). `uc=True` is the CFG uncond vanilla-SD pass.
+        `image_hint` (DUAL_CONTROL variant) feeds the second ControlNet whose
+        residuals sum with the pose branch's (ref cldm.py:42-52, :909
+        ControlLDMVideo).
         `concat_cond` (mask / masked-latent channels) is concatenated onto the
         UNet input for the inpaint/mask variants (ref cldm.py:889
         ControlInpaintLDM, :985 ControlLDMVideoMaskPose; ddim.py:524-527
@@ -180,6 +189,20 @@ class MagicPoseModel(nn.Module):
                 x_noisy, pose_hint, timesteps, context,
                 deterministic=deterministic, dtype=dtype,
             )
+
+        if self.cfg.has_image_control and image_hint is not None:
+            # dual-ControlNet composition: the second branch's residuals sum
+            # positionally with the first (ref cldm.py:42-52:
+            # `hs.pop() + control.pop() + image_control.pop()`)
+            image_residuals = self.image_control_model(
+                x_noisy, image_hint, timesteps, context,
+                deterministic=deterministic, dtype=dtype,
+            )
+            if pose_residuals is None:
+                pose_residuals = image_residuals
+            else:
+                pose_residuals = tuple(
+                    a + b for a, b in zip(pose_residuals, image_residuals))
 
         res = self.unet(
             x_noisy, timesteps, context,

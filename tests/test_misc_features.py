@@ -103,3 +103,62 @@ def test_expand_conv_in_surgery():
     np.testing.assert_array_equal(out["conv_in"]["kernel"][:, :, :4], 1)
     with pytest.raises(ValueError):
         expand_conv_in(tree, 2)
+
+
+def test_dual_controlnet_composition():
+    """DUAL_CONTROL: two ControlNets' residual tuples sum positionally into
+    the UNet (ref cldm.py:42-52 ControlledUnetModel image_control;
+    :909 ControlLDMVideo). Verified against manually-summed residuals."""
+    from magicdance_tpu.config import (
+        ControlNetConfig,
+        ModelConfig,
+        ModelVariant,
+        UNetConfig,
+    )
+    from magicdance_tpu.models import MagicPoseModel
+    from magicdance_tpu.utils.testing import randomize_zero_kernels
+
+    tiny = dict(model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+                attention_resolutions=(1, 2), num_heads=2, context_dim=16)
+    cfg = ModelConfig(
+        variant=ModelVariant.DUAL_CONTROL,
+        unet=UNetConfig(**tiny),
+        pose_control=ControlNetConfig(**tiny),
+        image_control=ControlNetConfig(**tiny),
+        latent_size=8,
+        dtype="float32",
+    )
+    model = MagicPoseModel(cfg)
+    B = 2
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, 8, 8, 4))
+    t = jnp.array([100, 500])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (B, 5, 16))
+    pose = jax.random.uniform(jax.random.PRNGKey(3), (B, 64, 64, 3))
+    img = jax.random.uniform(jax.random.PRNGKey(4), (B, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx,
+                        pose_hint=pose, image_hint=img)
+    params = randomize_zero_kernels(params)
+
+    out_both = model.apply(params, x, t, ctx, pose_hint=pose, image_hint=img)
+    assert np.isfinite(np.asarray(out_both)).all()
+
+    # both branches contribute
+    out_pose_only = model.apply(params, x, t, ctx, pose_hint=pose)
+    out_img_only = model.apply(params, x, t, ctx, image_hint=img)
+    assert not np.allclose(np.asarray(out_both), np.asarray(out_pose_only),
+                           atol=1e-5)
+    assert not np.allclose(np.asarray(out_both), np.asarray(out_img_only),
+                           atol=1e-5)
+
+    # composition == manually summed residual tuples through the UNet
+    r_pose = model.apply(params, x, pose, t, ctx,
+                         method=model.compute_pose_residuals)
+    from magicdance_tpu.models.controlnet import PoseControlNet
+
+    r_img = PoseControlNet(cfg.image_control).apply(
+        {"params": params["params"]["image_control_model"]},
+        x, img, t, ctx, dtype=jnp.float32)
+    summed = tuple(a + b for a, b in zip(r_pose, r_img))
+    out_manual = model.apply(params, x, t, ctx, pose_residuals=summed)
+    np.testing.assert_allclose(np.asarray(out_both), np.asarray(out_manual),
+                               atol=1e-5, rtol=1e-5)
