@@ -51,10 +51,25 @@ def paired_batches(gen_dir: str, gt_dir: str, batch: int = 16):
         yield np.stack(gens), np.stack(gts)
 
 
+def luma_uint8(rgb: np.ndarray) -> np.ndarray:
+    """ITU-R BT.601 grayscale, rounded to uint8 — the cv2.cvtColor(BGR2GRAY)
+    DisCo applies before SSIM (ref ssim_l1_lpips_psnr.py:62-64)."""
+    y = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2])
+    return np.clip(np.round(y), 0, 255).astype(np.uint8)
+
+
 def compute_paired_metrics(
     gen_dir: str, gt_dir: str, types: list[str],
     lpips_weights: Optional[str] = None,
 ) -> dict:
+    """DisCo-convention paired metrics (ref ssim_l1_lpips_psnr.py):
+      l1   — mean |a-b| on 0-255 pixels divided by H*W (the reference's
+             l1_eval normalizes the error MAP by H*W before averaging,
+             lines 31-34 — this reproduces DisCo's reported ~1e-4 scale)
+      mae  — plain mean |a-b| with images in [0, 1]
+      ssim — skimage defaults on the BT.601 grayscale channel (lines 62-67)
+      psnr — 255-peak on full-color pixels (lines 12-19)
+    """
     import jax.numpy as jnp
 
     from magicdance_tpu.metrics.core import l1_error, psnr, ssim
@@ -76,13 +91,16 @@ def compute_paired_metrics(
         t = jnp.asarray(gts, jnp.float32) / 255.0
         bs = len(gens)
         n += bs
-        if "l1" in want or "mae" in want:
-            v = float(l1_error(g, t))
-            for key in ("l1", "mae"):
-                if key in want:
-                    sums[key].append(v * bs)
+        if "l1" in want:
+            hw = float(gens.shape[1] * gens.shape[2])
+            d = np.abs(gens.astype(np.float64) - gts.astype(np.float64))
+            sums["l1"].append(float(d.mean()) / hw * bs)
+        if "mae" in want:
+            sums["mae"].append(float(l1_error(g, t)) * bs)
         if "ssim" in want:
-            sums["ssim"].append(float(ssim(g, t)) * bs)
+            gg = jnp.asarray(luma_uint8(gens), jnp.float32)[..., None] / 255.0
+            tt = jnp.asarray(luma_uint8(gts), jnp.float32)[..., None] / 255.0
+            sums["ssim"].append(float(ssim(gg, tt)) * bs)
         if "psnr" in want:
             sums["psnr"].append(float(psnr(g, t)) * bs)
         if lp is not None:

@@ -15,8 +15,11 @@ import numpy as np
 
 
 def l1_error(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Mean absolute error over all pixels; inputs in [0, 1]
-    (DisCo reports this scaled by 100 as 'L1')."""
+    """Plain mean absolute error over all pixels; inputs in [0, 1].
+    (DisCo's reported 'L1' uses a different normalization — mean |a-b| on
+    0-255 pixels divided by H*W, ref ssim_l1_lpips_psnr.py:31-34 — which
+    metrics/center.py reproduces for the `l1` key; this function backs the
+    `mae` key.)"""
     return jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
 
 

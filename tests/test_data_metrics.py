@@ -150,3 +150,94 @@ def test_lpips_runs_uncalibrated():
     # random (uncalibrated) lin weights may produce either sign; identical
     # inputs must still be exactly 0 while different inputs are not
     assert float(dab[0]) != 0.0 and np.isfinite(dab).all()
+
+
+def _ssim_oracle(a8: np.ndarray, b8: np.ndarray, data_range=255.0) -> float:
+    """Independent fp64 implementation of skimage.metrics.structural_similarity
+    defaults (uniform 7x7 window, sample covariance, crop pad, K1/K2 .01/.03)
+    using scipy — the exact path DisCo's SSIM takes on grayscale uint8 images
+    (ref ssim_l1_lpips_psnr.py:62-67). skimage itself is absent from this
+    environment, so the algorithm is pinned by this from-spec oracle."""
+    from scipy.ndimage import uniform_filter
+
+    win, pad = 7, 3
+    NP = win * win
+    cov_norm = NP / (NP - 1)
+    a = a8.astype(np.float64)
+    b = b8.astype(np.float64)
+    ux, uy = uniform_filter(a, win), uniform_filter(b, win)
+    uxx, uyy = uniform_filter(a * a, win), uniform_filter(b * b, win)
+    uxy = uniform_filter(a * b, win)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    C1, C2 = (0.01 * data_range) ** 2, (0.03 * data_range) ** 2
+    S = ((2 * ux * uy + C1) * (2 * vxy + C2)) / (
+        (ux ** 2 + uy ** 2 + C1) * (vx + vy + C2))
+    return float(S[pad:-pad, pad:-pad].mean())
+
+
+def test_ssim_golden_vs_scipy_oracle():
+    """Pin our JAX SSIM to the skimage algorithm on DisCo's exact input
+    convention (grayscale uint8). SSIM is invariant to common rescaling of
+    inputs and data_range, so [0,1]-input/range-1 must equal uint8/range-255."""
+    import jax.numpy as jnp
+
+    from magicdance_tpu.metrics.center import luma_uint8
+    from magicdance_tpu.metrics.core import ssim
+
+    rng = np.random.RandomState(7)
+    base = np.clip(rng.rand(64, 64, 3) * 160 + 40
+                   + rng.randn(64, 64, 3) * 20, 0, 255).astype(np.uint8)
+    noisy = np.clip(base.astype(np.int32)
+                    + (rng.randn(64, 64, 3) * 12).astype(np.int32),
+                    0, 255).astype(np.uint8)
+    g1, g2 = luma_uint8(base), luma_uint8(noisy)
+    ref = _ssim_oracle(g1, g2)
+    ours = float(ssim(jnp.asarray(g1, jnp.float32)[None, ..., None] / 255.0,
+                      jnp.asarray(g2, jnp.float32)[None, ..., None] / 255.0))
+    assert ours == pytest.approx(ref, abs=1e-5)
+
+
+def test_paired_metrics_disco_conventions(tmp_path):
+    """compute_paired_metrics reproduces the reference's formulas end-to-end:
+    l1 = mean|a-b| / (H*W) on 0-255 (ssim_l1_lpips_psnr.py:31-34), psnr with
+    255 peak (:12-19), ssim on grayscale via the oracle above."""
+    from PIL import Image
+
+    from magicdance_tpu.metrics.center import compute_paired_metrics, luma_uint8
+
+    rng = np.random.RandomState(3)
+    gen_dir, gt_dir = tmp_path / "gen", tmp_path / "gt"
+    gen_dir.mkdir(); gt_dir.mkdir()
+    gens, gts = [], []
+    for i in range(3):
+        a = np.clip(rng.rand(32, 32, 3) * 200 + 20
+                    + rng.randn(32, 32, 3) * 15, 0, 255).astype(np.uint8)
+        b = np.clip(a.astype(np.int32)
+                    + (rng.randn(32, 32, 3) * 10).astype(np.int32),
+                    0, 255).astype(np.uint8)
+        Image.fromarray(a).save(gen_dir / f"{i:03d}.png")
+        Image.fromarray(b).save(gt_dir / f"{i:03d}.png")
+        gens.append(a); gts.append(b)
+
+    out = compute_paired_metrics(str(gen_dir), str(gt_dir),
+                                 ["l1", "mae", "ssim", "psnr"])
+    assert out["num_images"] == 3
+
+    ga = np.stack(gens).astype(np.float64)
+    ta = np.stack(gts).astype(np.float64)
+    # reference l1_eval: per-image err/(H*W), averaged
+    l1_ref = np.mean([np.abs(g - t).mean() / (32 * 32)
+                      for g, t in zip(ga, ta)])
+    assert out["l1"] == pytest.approx(l1_ref, rel=1e-5)
+    mae_ref = np.abs(ga / 255 - ta / 255).mean()
+    assert out["mae"] == pytest.approx(mae_ref, rel=1e-4)
+    # reference psnr_eval: 20*log10(255/sqrt(mse)) on 0-255 pixels
+    mse = ((ga - ta) ** 2).mean()
+    assert out["psnr"] == pytest.approx(20 * np.log10(255 / np.sqrt(mse)),
+                                        rel=1e-4)
+    ssim_ref = np.mean([_ssim_oracle(luma_uint8(g.astype(np.uint8)),
+                                     luma_uint8(t.astype(np.uint8)))
+                        for g, t in zip(np.stack(gens), np.stack(gts))])
+    assert out["ssim"] == pytest.approx(ssim_ref, abs=1e-5)
