@@ -26,11 +26,13 @@ def _load() -> Optional[ctypes.CDLL]:
         return _LIB
     _TRIED = True
     so = os.path.abspath(os.path.join(_NATIVE_DIR, "libmdimage.so"))
-    if not os.path.exists(so):
-        try:
-            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
-                           check=True, capture_output=True, timeout=120)
-        except Exception:
+    try:
+        # make is a no-op when the .so is newer than the source; this also
+        # transparently rebuilds stale libs missing newer entry points
+        subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                       check=True, capture_output=True, timeout=120)
+    except Exception:
+        if not os.path.exists(so):
             return None
     try:
         lib = ctypes.CDLL(so)
@@ -40,8 +42,15 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_float, ctypes.c_float,
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.md_batch_load_rrc.restype = ctypes.c_int
+        lib.md_batch_load_rrc.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_longlong), ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float),
+        ]
         _LIB = lib
-    except OSError:
+    except (OSError, AttributeError):
         _LIB = None
     return _LIB
 
@@ -85,4 +94,79 @@ def batch_load_images(
         if center_crop:
             img = center_crop_square(img)
         out[i] = resize(img, size).astype(np.float32) * scale + offset
+    return out
+
+
+def _splitmix64(state: int):
+    state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = state
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return state, (z ^ (z >> 31)) & 0xFFFFFFFFFFFFFFFF
+
+
+def rrc_params(seed: int, h: int, w: int,
+               scale: tuple[float, float]) -> tuple[int, int, int]:
+    """Exact Python replica of the C++ seeded random-resized-crop parameter
+    derivation (md_batch_load_rrc): returns (top, left, side). Same seed +
+    same dims == same crop — used by tests and by the PIL fallback."""
+    s = seed & 0xFFFFFFFFFFFFFFFF
+
+    def uniform(st):
+        st, z = _splitmix64(st)
+        return st, (z >> 40) / 16777216.0
+
+    s, u = uniform(s)
+    area_frac = scale[0] + (scale[1] - scale[0]) * u
+    side = int(round(np.sqrt(area_frac * h * w)))
+    side = max(1, min(side, min(h, w)))
+    s, u = uniform(s)
+    top = min(int(u * (h - side + 1)), h - side)
+    s, u = uniform(s)
+    left = min(int(u * (w - side + 1)), w - side)
+    return top, left, side
+
+
+def batch_load_images_rrc(
+    paths: list[str],
+    size: int,
+    seeds: list[int],
+    scale_range: tuple[float, float] = (0.9, 1.0),
+    scale: float = 1.0 / 127.5,
+    offset: float = -1.0,
+) -> np.ndarray:
+    """Decode + seeded RandomResizedCrop + resize + normalize a batch →
+    (N, size, size, 3) float32. Training-path twin of `batch_load_images`:
+    passing one sample's seed for both its target frame and pose map yields
+    the identical crop (the reference's shared-transform-per-sample
+    semantics, tiktok_video_arnold_copy.py:60-80)."""
+    lib = _load()
+    n = len(paths)
+    assert len(seeds) == n
+    out = np.empty((n, size, size, 3), np.float32)
+    if lib is not None:
+        arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        seed_arr = (ctypes.c_longlong * n)(*[int(s) & 0x7FFFFFFFFFFFFFFF
+                                             for s in seeds])
+        failures = lib.md_batch_load_rrc(
+            arr, n, size, seed_arr,
+            ctypes.c_float(scale_range[0]), ctypes.c_float(scale_range[1]),
+            ctypes.c_float(scale), ctypes.c_float(offset),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if failures:
+            raise IOError(f"native loader failed on {failures}/{n} images")
+        return out
+    # PIL fallback (same crop params via the replica RNG; bicubic resize)
+    from PIL import Image
+
+    from magicdance_tpu.data.transforms import resize
+
+    for i, p in enumerate(paths):
+        img = np.asarray(Image.open(p).convert("RGB"))
+        h, w = img.shape[:2]
+        top, left, side = rrc_params(int(seeds[i]) & 0x7FFFFFFFFFFFFFFF,
+                                     h, w, scale_range)
+        crop = img[top:top + side, left:left + side]
+        out[i] = resize(crop, size).astype(np.float32) * scale + offset
     return out

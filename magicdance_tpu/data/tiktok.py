@@ -75,7 +75,9 @@ class TikTokPairDataset:
         }
         self.videos = [v for v in self.videos if len(self.frames[v]) >= 2]
 
-    def sample(self, rng: np.random.RandomState) -> Optional[dict]:
+    def _draw_pair(self, rng: np.random.RandomState) -> tuple[str, str, str]:
+        """(video, target_frame, reference_frame): a random frame pair of the
+        same video ≤ img_bin_limit seconds apart (ref :146-152)."""
         v = self.videos[rng.randint(len(self.videos))]
         frames = self.frames[v]
         i = rng.randint(len(frames))
@@ -83,10 +85,13 @@ class TikTokPairDataset:
         lo = max(0, i - max_gap)
         hi = min(len(frames) - 1, i + max_gap)
         j = rng.randint(lo, hi + 1)
+        return v, frames[i], frames[j]
 
+    def sample(self, rng: np.random.RandomState) -> Optional[dict]:
+        v, frame_i, frame_j = self._draw_pair(rng)
         img_dir = os.path.join(self.root, self.split, v)
-        target = _load(os.path.join(img_dir, frames[i]))
-        reference = _load(os.path.join(img_dir, frames[j]))
+        target = _load(os.path.join(img_dir, frame_i))
+        reference = _load(os.path.join(img_dir, frame_j))
         if is_monochrome(target) or is_monochrome(reference):
             return None
 
@@ -101,7 +106,7 @@ class TikTokPairDataset:
             "reference": to_model_range(reference_c),
         }
         if self.use_pose:
-            pose_path = os.path.join(self.root, self.pose_split, v, frames[i])
+            pose_path = os.path.join(self.root, self.pose_split, v, frame_i)
             pose = _load(pose_path)
             # the pose map gets the SAME crop as its target frame
             pose_c, _ = random_resized_crop(
@@ -110,8 +115,25 @@ class TikTokPairDataset:
             out["pose"] = to_hint_range(pose_c)
         return out
 
-    def batches(self, batch_size: int, seed: Optional[int] = None) -> Iterator[dict]:
+    def batches(
+        self,
+        batch_size: int,
+        seed: Optional[int] = None,
+        use_native: Optional[bool] = None,
+    ) -> Iterator[dict]:
+        """Infinite batch stream. When the native C++ decode core is
+        available (default auto-detect), the whole batch is decoded, cropped
+        and normalized by `md_batch_load_rrc` — multi-threaded, GIL-free —
+        with the same shared-crop-per-sample semantics as the Python path
+        (target and pose map share a crop seed)."""
+        from magicdance_tpu.data.native import native_available
+
+        if use_native is None:
+            use_native = native_available()
         rng = np.random.RandomState(self.seed if seed is None else seed)
+        if use_native:
+            yield from self._native_batches(batch_size, rng)
+            return
         while True:
             items = []
             while len(items) < batch_size:
@@ -121,6 +143,54 @@ class TikTokPairDataset:
             yield {
                 k: np.stack([it[k] for it in items]) for k in items[0]
             }
+
+    def _native_batches(
+        self, batch_size: int, rng: np.random.RandomState
+    ) -> Iterator[dict]:
+        from magicdance_tpu.data.native import batch_load_images_rrc
+
+        def to_u8(x):
+            return np.clip((x + 1.0) * 127.5, 0, 255).astype(np.uint8)
+
+        B = batch_size
+        while True:
+            picks = [self._draw_pair(rng) for _ in range(B)]
+            seeds_t = [int(rng.randint(1 << 31)) for _ in range(B)]
+            seeds_r = [int(rng.randint(1 << 31)) for _ in range(B)]
+            targets = np.empty((B, self.image_size, self.image_size, 3),
+                               np.float32)
+            refs = np.empty_like(targets)
+            redo = list(range(B))
+            for _ in range(10):  # resample degenerate (monochrome) picks
+                tp = [os.path.join(self.root, self.split, picks[k][0],
+                                   picks[k][1]) for k in redo]
+                rp = [os.path.join(self.root, self.split, picks[k][0],
+                                   picks[k][2]) for k in redo]
+                targets[redo] = batch_load_images_rrc(
+                    tp, self.image_size, [seeds_t[k] for k in redo],
+                    self.crop_scale)
+                refs[redo] = batch_load_images_rrc(
+                    rp, self.image_size, [seeds_r[k] for k in redo],
+                    self.crop_scale)
+                redo = [k for k in redo
+                        if is_monochrome(to_u8(targets[k]))
+                        or is_monochrome(to_u8(refs[k]))]
+                if not redo:
+                    break
+                for k in redo:
+                    picks[k] = self._draw_pair(rng)
+                    seeds_t[k] = int(rng.randint(1 << 31))
+                    seeds_r[k] = int(rng.randint(1 << 31))
+            out = {"image": targets, "reference": refs}
+            if self.use_pose:
+                pp = [os.path.join(self.root, self.pose_split, v, fi)
+                      for v, fi, _ in picks]
+                # pose maps share their target frame's crop seed (same dims
+                # -> identical crop), in hint range [0, 1]
+                out["pose"] = batch_load_images_rrc(
+                    pp, self.image_size, seeds_t, self.crop_scale,
+                    scale=1.0 / 255.0, offset=0.0)
+            yield out
 
 
 @dataclass

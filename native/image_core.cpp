@@ -209,6 +209,60 @@ int md_batch_load(const char** paths, int n, int size, int crop_mode,
   return failures.load();
 }
 
+// Decode `n` images and apply a seeded random-resized-crop per image
+// (training augmentation, ref tiktok_video_arnold_copy.py train stack:
+// RandomResizedCrop(size, scale=(lo,hi)) with square ratio). Crop params are
+// a pure function of (seed, image dims): passing the SAME seed for a target
+// frame and its pose map (identical dims) yields the identical crop, which
+// is the reference's shared-transform-per-sample semantics. RNG is
+// splitmix64 so the Python side can reproduce params exactly.
+static inline uint64_t splitmix64(uint64_t* s) {
+  uint64_t z = (*s += 0x9e3779b97f4a7c15ULL);
+  z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+  z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+  return z ^ (z >> 31);
+}
+
+static inline double rng_uniform(uint64_t* s) {
+  return double(splitmix64(s) >> 40) / 16777216.0;  // 24-bit mantissa
+}
+
+int md_batch_load_rrc(const char** paths, int n, int size,
+                      const long long* seeds, float scale_lo, float scale_hi,
+                      float scale, float offset, float* out) {
+  std::atomic<int> failures{0};
+  int threads = std::max(1u, std::thread::hardware_concurrency());
+  threads = std::min(threads, n > 0 ? n : 1);
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      Image img;
+      float* dst = out + size_t(i) * size * size * 3;
+      if (!decode_file(paths[i], &img) || img.h == 0) {
+        memset(dst, 0, size_t(size) * size * 3 * sizeof(float));
+        failures.fetch_add(1);
+        continue;
+      }
+      uint64_t s = uint64_t(seeds[i]);
+      double area_frac = scale_lo + (scale_hi - scale_lo) * rng_uniform(&s);
+      int side = int(std::lround(std::sqrt(area_frac * img.h * img.w)));
+      side = std::max(1, std::min(side, std::min(img.h, img.w)));
+      int top = int(rng_uniform(&s) * (img.h - side + 1));
+      int left = int(rng_uniform(&s) * (img.w - side + 1));
+      top = std::min(top, img.h - side);
+      left = std::min(left, img.w - side);
+      resize_crop_bilinear(img, top, left, side, side, size, scale, offset,
+                           dst);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return failures.load();
+}
+
 // Decode a single image, return dims via out params; caller provides buffer
 // of h*w*3 (call with out=null first to query size).
 int md_image_size(const char* path, int* h, int* w) {
