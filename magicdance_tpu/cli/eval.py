@@ -39,6 +39,7 @@ def main(argv=None) -> None:
     p.add_argument("--uncond_every", type=int, default=1)
     p.add_argument("--pose_every", type=int, default=1)
     p.add_argument("--deepcache_every", type=int, default=1)
+    p.add_argument("--deepcache_level", type=int, default=0)
     args = p.parse_args(argv)
 
     import jax
@@ -78,7 +79,8 @@ def main(argv=None) -> None:
                                       if args.cfg_interval else None),
                         uncond_every=args.uncond_every,
                         pose_every=args.pose_every,
-                        deepcache_every=args.deepcache_every)
+                        deepcache_every=args.deepcache_every,
+                        deepcache_level=args.deepcache_level)
     ds = TikTokEvalDataset(root=args.data, image_size=args.size,
                            every_nth=args.every_nth)
     rng = jax.random.PRNGKey(args.seed)

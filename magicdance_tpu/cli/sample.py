@@ -64,6 +64,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "reuse the cached value in between")
     p.add_argument("--pose_every", type=int, default=1,
                    help="refresh pose-ControlNet residuals every k-th step")
+    p.add_argument("--deepcache_level", type=int, default=0,
+                   help="DeepCache split level: 0 = deepest reuse (fastest),"
+                        " 1 = recompute levels 0-1 per step (more accurate)")
     p.add_argument("--deepcache_every", type=int, default=1,
                    help="refresh the cond UNet's deep levels every k-th "
                         "step; run only the level-0 encoder/decoder in "
@@ -144,7 +147,8 @@ def main(argv=None) -> None:
                                       if args.cfg_interval else None),
                         uncond_every=args.uncond_every,
                         pose_every=args.pose_every,
-                        deepcache_every=args.deepcache_every)
+                        deepcache_every=args.deepcache_every,
+                        deepcache_level=args.deepcache_level)
     os.makedirs(args.output, exist_ok=True)
     rng = jax.random.PRNGKey(args.seed)
 

@@ -226,6 +226,10 @@ class SampleConfig:
     # smooth in t — "Faster Diffusion"-style reuse applied to the CFG pass).
     # Cuts ~(1-1/k) of all vanilla-SD uncond forwards.
     uncond_every: int = 1
+    # DeepCache split level: 0 = classic deepest reuse (fastest shallow
+    # pass); 1 = second split point, recomputes levels 0-1 per step for a
+    # smaller approximation error at less speedup
+    deepcache_level: int = 0
     # pose_every=k (k>1): refresh the pose-ControlNet residuals every k-th
     # step and reuse the cached tuple in between (DeepCache-style reuse —
     # the residuals vary smoothly along the trajectory while the hint is

@@ -123,6 +123,7 @@ class MagicPoseModel(nn.Module):
         pose_residuals: Optional[Tuple[jax.Array, ...]] = None,
         collect_deep: bool = False,
         deep_cache_in: Optional[jax.Array] = None,
+        deep_level: int = 0,
     ):
         """eps/v prediction (ref cldm.py:1099-1117 apply_model).
 
@@ -152,6 +153,7 @@ class MagicPoseModel(nn.Module):
                 x_noisy, timesteps, context, num_frames=num_frames,
                 deterministic=deterministic, dtype=dtype,
                 collect_deep=collect_deep, deep_cache_in=deep_cache_in,
+                deep_level=deep_level,
             )
             if collect_deep:
                 out, _, deep = res
@@ -209,6 +211,7 @@ class MagicPoseModel(nn.Module):
             bank=bank, pose_residuals=pose_residuals, num_frames=num_frames,
             deterministic=deterministic, dtype=dtype,
             collect_deep=collect_deep, deep_cache_in=deep_cache_in,
+            deep_level=deep_level,
         )
         if collect_deep:
             out, _, deep = res

@@ -85,27 +85,31 @@ def decoder_plan(cfg: UNetConfig):
     from the traversal.
 
     Each unit: {level, ch, attn, ds, upsample, name_res, name_attn(|None),
-    name_mm}.
+    name_mm, name_up(|None)}.
     """
     units = []
     ds = max(1, 2 ** (len(cfg.channel_mult) - 1))
-    attn_i = 0
+    attn_i = up_i = 0
     for level in reversed(range(len(cfg.channel_mult))):
         for i in range(cfg.num_res_blocks + 1):
             attn = ds in cfg.attention_resolutions
+            upsample = level != 0 and i == cfg.num_res_blocks
             idx = len(units)
             units.append(dict(
                 level=level,
                 ch=cfg.model_channels * cfg.channel_mult[level],
                 attn=attn,
                 ds=ds,
-                upsample=(level != 0 and i == cfg.num_res_blocks),
+                upsample=upsample,
                 name_res=f"dec_res_{idx}",
                 name_attn=f"dec_attn_{attn_i}" if attn else None,
                 name_mm=f"dec_motion_{idx}",
+                name_up=f"dec_up_{up_i}" if upsample else None,
             ))
             if attn:
                 attn_i += 1
+            if upsample:
+                up_i += 1
         if level != 0:
             ds //= 2
     return units
@@ -118,20 +122,24 @@ def num_bank_entries(cfg: UNetConfig) -> int:
     return (enc + 1 + dec) * cfg.transformer_depth
 
 
-def shallow_plan(cfg: UNetConfig):
-    """Static bookkeeping for the DeepCache shallow pass (level-0 only).
+def shallow_plan(cfg: UNetConfig, deep_level: int = 0):
+    """Static bookkeeping for the DeepCache shallow pass over levels
+    0..deep_level (deep_level=0 is the classic deepest-reuse split; higher
+    levels recompute more of the net per step for smaller approximation
+    error — "DeepCache", Ma et al. 2023 uses such shallower splits too).
 
-    Returns (n_enc0_bank, n_dec0_bank): bank entries consumed by the
-    level-0 encoder/decoder attention sites. (Decoder module names come
+    Returns (n_enc_bank, n_dec_bank): bank entries consumed by the shallow
+    levels' encoder/decoder attention sites. (Decoder module names come
     straight from `decoder_plan`, so no name-counter offsets are needed.)
     """
     enc_units, _, _ = unet_plan(cfg)
-    n_enc0 = sum(1 for u in enc_units
-                 if u["kind"] == "res" and u["attn"] and u["level"] == 0)
-    n_dec0 = sum(1 for u in decoder_plan(cfg)
-                 if u["level"] == 0 and u["attn"])
+    n_enc = sum(1 for u in enc_units
+                if u["kind"] == "res" and u["attn"]
+                and u["level"] <= deep_level)
+    n_dec = sum(1 for u in decoder_plan(cfg)
+                if u["level"] <= deep_level and u["attn"])
     d = cfg.transformer_depth
-    return n_enc0 * d, n_dec0 * d
+    return n_enc * d, n_dec * d
 
 
 class UNet(nn.Module):
@@ -156,6 +164,7 @@ class UNet(nn.Module):
         bank_mask: Optional[jax.Array] = None,
         collect_deep: bool = False,
         deep_cache_in: Optional[jax.Array] = None,
+        deep_level: int = 0,
     ):
         """Returns (eps_prediction, bank_written), or
         (eps_prediction, bank_written, deep_feature) when collect_deep.
@@ -169,16 +178,23 @@ class UNet(nn.Module):
 
         DeepCache (turbo serving): `collect_deep=True` additionally returns
         the hidden state entering the level-0 decoder (post-upsample);
-        `deep_cache_in=that_feature` runs a SHALLOW pass — level-0 encoder,
-        cached deep feature, level-0 decoder — skipping every deeper level
-        ("DeepCache", Ma et al. 2023). A shallow pass fed the deep feature
-        of the SAME (x, t) reproduces the full forward exactly.
+        `deep_cache_in=that_feature` runs a SHALLOW pass — levels
+        0..deep_level of the encoder, cached deep feature, levels
+        deep_level..0 of the decoder — skipping every deeper level
+        ("DeepCache", Ma et al. 2023). `deep_level` picks the split:
+        0 = classic deepest reuse (fastest), higher levels recompute more
+        per step for smaller approximation error. A shallow pass fed the
+        deep feature of the SAME (x, t) reproduces the full forward
+        exactly.
         """
         cfg = self.cfg
         assert bank is None or not collect_bank, "write and read are exclusive"
         shallow = deep_cache_in is not None
         assert not (shallow and collect_deep), "collect_deep in a shallow pass"
         assert not (shallow and collect_bank), "bank write in a shallow pass"
+        assert 0 <= deep_level < len(cfg.channel_mult) - 1, (
+            f"deep_level {deep_level} out of range for "
+            f"{len(cfg.channel_mult)} levels")
         # rematerialize blocks under autodiff (no-op on forward-only graphs):
         # SD1.5-scale 512^2 training does not fit HBM without it
         if cfg.remat:
@@ -192,7 +208,7 @@ class UNet(nn.Module):
                 f"bank has {len(bank)} entries, expected {num_bank_entries(cfg)}"
             )
         if shallow:
-            n_enc0, n_dec0 = shallow_plan(cfg)
+            n_enc0, n_dec0 = shallow_plan(cfg, deep_level)
 
         t_emb = timestep_embedding(timesteps, cfg.model_channels, dtype=dtype)
         emb = TimestepEmbedMLP(cfg.model_channels, dtype=dtype, name="time_embed")(t_emb)
@@ -245,8 +261,10 @@ class UNet(nn.Module):
         hs = [h]
         res_i = down_i = attn_i = mm_i = 0
         for u in units:
-            if shallow and (u["level"] > 0 or u["kind"] == "down"):
-                break  # deep levels are served from the cache
+            if shallow and (u["level"] > deep_level
+                            or (u["kind"] == "down"
+                                and u["level"] == deep_level)):
+                break  # deeper levels are served from the cache
             if u["kind"] == "res":
                 h = RB(u["ch"], dropout=cfg.dropout, dtype=dtype,
                              name=f"enc_res_{res_i}")(h, emb, deterministic=deterministic)
@@ -293,15 +311,14 @@ class UNet(nn.Module):
         deep_feature = None
         dec_units = decoder_plan(cfg)
         if shallow:
-            # cached hidden state entering the level-0 decoder
+            # cached hidden state entering the level-(deep_level) decoder
             h = deep_cache_in.astype(dtype)
-            dec_units = [u for u in dec_units if u["level"] == 0]
-        up_i = 0
-        seen_level0 = False
+            dec_units = [u for u in dec_units if u["level"] <= deep_level]
+        seen_cache_point = False
         for u in dec_units:
             out_ch = u["ch"]
-            if u["level"] == 0 and not seen_level0:
-                seen_level0 = True
+            if u["level"] == deep_level and not seen_cache_point:
+                seen_cache_point = True
                 if not shallow:
                     deep_feature = h
             skip = hs.pop()
@@ -320,8 +337,7 @@ class UNet(nn.Module):
                 bank_written.extend(written)
             h = motion(h, u["name_mm"])
             if u["upsample"]:
-                h = Upsample(out_ch, dtype=dtype, name=f"dec_up_{up_i}")(h)
-                up_i += 1
+                h = Upsample(out_ch, dtype=dtype, name=u["name_up"])(h)
         assert not hs, "skip bookkeeping mismatch"
         if bank_read is not None:
             assert not bank_read, "unconsumed bank entries"

@@ -288,7 +288,7 @@ def ddim_sample(
         deep_shape = jax.eval_shape(
             lambda: model.apply(
                 params, x_T, jnp.zeros((B,), jnp.int32), ctx,
-                collect_deep=True,
+                collect_deep=True, deep_level=scfg.deepcache_level,
             )
         )[1]
         deep0 = jnp.zeros(deep_shape.shape, deep_shape.dtype)
@@ -340,7 +340,8 @@ def ddim_sample(
                 e, d = model.apply(
                     params, x, t, ctx,
                     bank=bank, pose_hint=pose_hint, num_frames=num_frames,
-                    collect_deep=True, **pose_kw,
+                    collect_deep=True, deep_level=scfg.deepcache_level,
+                    **pose_kw,
                 )
                 return e, d
 
@@ -348,7 +349,8 @@ def ddim_sample(
                 e = model.apply(
                     params, x, t, ctx,
                     bank=bank, pose_hint=pose_hint, num_frames=num_frames,
-                    deep_cache_in=deep_prev, **pose_kw,
+                    deep_cache_in=deep_prev, deep_level=scfg.deepcache_level,
+                    **pose_kw,
                 )
                 return e, deep_prev
 
@@ -380,13 +382,15 @@ def ddim_sample(
                     def u_full(_):
                         e, d = model.apply(params, x, t, uctx, uc=True,
                                            num_frames=num_frames,
-                                           collect_deep=True)
+                                           collect_deep=True,
+                                           deep_level=scfg.deepcache_level)
                         return e, d
 
                     def u_shallow(_):
                         e = model.apply(params, x, t, uctx, uc=True,
                                         num_frames=num_frames,
-                                        deep_cache_in=deep_u_prev)
+                                        deep_cache_in=deep_u_prev,
+                                        deep_level=scfg.deepcache_level)
                         return e, deep_u_prev
 
                     eu, du = jax.lax.cond(udeep_refresh_arr[step], u_full,

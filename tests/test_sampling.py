@@ -460,3 +460,79 @@ def test_turbo_uncond_deepcache_matches_python_oracle():
                          jnp.zeros_like(x))
     np.testing.assert_allclose(np.asarray(out), np.asarray(x),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_deepcache_level1():
+    """Second DeepCache split point (deep_level=1): shallow pass over levels
+    0-1 fed the deep feature of the SAME (x, t) reproduces the full forward;
+    the sampler runs with deepcache_level=1 and differs from both exact and
+    level-0 trajectories."""
+    cfg3 = ModelConfig(
+        variant=ModelVariant.APPEARANCE_POSE,
+        unet=UNetConfig(model_channels=32, channel_mult=(1, 2, 2),
+                        num_res_blocks=1, attention_resolutions=(1, 2),
+                        num_heads=2, context_dim=16),
+        pose_control=ControlNetConfig(model_channels=32, channel_mult=(1, 2, 2),
+                                      num_res_blocks=1,
+                                      attention_resolutions=(1, 2),
+                                      num_heads=2, context_dim=16),
+        vae=VAEConfig(base_channels=32, channel_mult=(1, 2), num_res_blocks=1),
+        clip=CLIPTextConfig(vocab_size=100, hidden_size=16, num_layers=1,
+                            num_heads=2, max_length=5),
+        latent_size=8,
+        dtype="float32",
+    )
+    model, params = init_model(cfg3, B=2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    t = jnp.array([500, 500])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 16))
+    ref = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 4))
+    hint = jax.random.uniform(jax.random.PRNGKey(4), (2, 64, 64, 3))
+    bank = model.apply(params, ref, t[:1], ctx[:1], method=model.compute_bank)
+    full = model.apply(params, x, t, ctx, bank=bank, pose_hint=hint)
+    for lvl in (0, 1):
+        out_cd, deep = model.apply(params, x, t, ctx, bank=bank,
+                                   pose_hint=hint, collect_deep=True,
+                                   deep_level=lvl)
+        np.testing.assert_allclose(np.asarray(out_cd), np.asarray(full),
+                                   atol=1e-6)
+        shallow = model.apply(params, x, t, ctx, bank=bank, pose_hint=hint,
+                              deep_cache_in=deep, deep_level=lvl)
+        np.testing.assert_allclose(np.asarray(shallow), np.asarray(full),
+                                   atol=3e-5, rtol=3e-5)
+    # level-1 cache is a bigger tensor from a shallower point than level-0
+    _, deep0 = model.apply(params, x, t, ctx, bank=bank, pose_hint=hint,
+                           collect_deep=True, deep_level=0)
+    _, deep1 = model.apply(params, x, t, ctx, bank=bank, pose_hint=hint,
+                           collect_deep=True, deep_level=1)
+    assert deep0.shape != deep1.shape
+
+    sched = make_schedule(cfg3.diffusion)
+    ddim = make_ddim_schedule(sched, 4)
+    x_T = jax.random.normal(jax.random.PRNGKey(5), (2, 8, 8, 4))
+    outs = {}
+    for lvl in (0, 1):
+        scfg = SampleConfig(steps=4, cfg_scale=7.0, deepcache_every=2,
+                            deepcache_level=lvl)
+        o1 = ddim_sample(model, params, sched, ddim, scfg,
+                         jax.random.PRNGKey(6), x_T, ctx[:1],
+                         jnp.zeros((1, 5, 16)),
+                         reference_latent=ref, pose_hint=hint)
+        o2 = ddim_sample(model, params, sched, ddim, scfg,
+                         jax.random.PRNGKey(6), x_T, ctx[:1],
+                         jnp.zeros((1, 5, 16)),
+                         reference_latent=ref, pose_hint=hint)
+        assert np.isfinite(np.asarray(o1)).all()
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+        outs[lvl] = np.asarray(o1)
+    exact = ddim_sample(model, params, sched, ddim,
+                        SampleConfig(steps=4, cfg_scale=7.0),
+                        jax.random.PRNGKey(6), x_T, ctx[:1],
+                        jnp.zeros((1, 5, 16)),
+                        reference_latent=ref, pose_hint=hint)
+    assert not np.allclose(outs[0], np.asarray(exact), atol=1e-4)
+    assert not np.allclose(outs[1], np.asarray(exact), atol=1e-4)
+    assert not np.allclose(outs[0], outs[1], atol=1e-4)
+    # level-1 shallow recomputes more of the net -> closer to exact
+    assert (np.abs(outs[1] - np.asarray(exact)).mean()
+            < np.abs(outs[0] - np.asarray(exact)).mean())
