@@ -24,15 +24,28 @@ from PIL import Image
 
 
 def _load_video_model(weights_path: str):
+    """Returns ("flax", state_dict) for a raw I3D state dict (the
+    `i3d_pretrained_400.pt` format, ref features.py:42-44 — runs through the
+    first-party Flax I3D on the default JAX backend), or ("torch", module)
+    for a TorchScript file."""
     import torch
 
     try:
+        obj = torch.load(weights_path, map_location="cpu", weights_only=False)
+        if isinstance(obj, dict):
+            sd = obj.get("state_dict", obj)
+            if any(k.startswith("Conv3d_1a_7x7") for k in sd):
+                return "flax", {k: v for k, v in sd.items()}
+    except Exception:
+        pass
+    try:
         m = torch.jit.load(weights_path, map_location="cpu").eval()
-        return m
+        return "torch", m
     except Exception as e:
         raise ValueError(
             f"could not load video backbone from {weights_path}: {e}; provide "
-            "a TorchScript I3D/3D-ResNet file"
+            "the I3D state dict (i3d_pretrained_400.pt) or a TorchScript "
+            "I3D/3D-ResNet file"
         )
 
 
@@ -63,7 +76,16 @@ def video_features(
     """Features per video; each video (T, H, W, 3) uint8."""
     import torch
 
-    model = _load_video_model(weights_path)
+    engine, model = _load_video_model(weights_path)
+    if engine == "flax":
+        import jax
+        import jax.numpy as jnp
+
+        from magicdance_tpu.metrics.i3d_flax import I3D, convert_i3d
+
+        i3d = I3D()
+        params = {"params": jax.tree.map(jnp.asarray, convert_i3d(model))}
+        fn = jax.jit(lambda v: i3d.apply(params, v))
     feats = []
     buf = []
 
@@ -71,6 +93,13 @@ def video_features(
         if not buf:
             return
         x = np.stack(buf).astype(np.float32) / 127.5 - 1.0  # (B, T, H, W, 3)
+        if engine == "flax":
+            import jax.numpy as jnp
+
+            out = np.asarray(fn(jnp.asarray(x)))
+            feats.append(out.reshape(len(buf), -1))
+            buf.clear()
+            return
         x = torch.from_numpy(x).permute(0, 4, 1, 2, 3)  # (B, 3, T, H, W)
         with torch.no_grad():
             out = model(x)

@@ -1,0 +1,68 @@
+"""Flax I3D (FVD backbone) conversion parity vs the torch oracle."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+
+from torch_ref import TorchI3D
+
+
+def test_i3d_conversion_parity():
+    from magicdance_tpu.metrics.i3d_flax import I3D, convert_i3d
+
+    torch.manual_seed(0)
+    m = TorchI3D(num_classes=10, width=0.25).eval()
+    # non-trivial running stats so BN conversion is actually exercised
+    for mod in m.modules():
+        if isinstance(mod, torch.nn.BatchNorm3d):
+            mod.running_mean.normal_(0, 0.5)
+            mod.running_var.uniform_(0.5, 1.5)
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    tree = convert_i3d(sd)
+
+    model = I3D(num_classes=10, width=0.25)
+    x = (np.random.RandomState(0).rand(2, 9, 56, 56, 3)
+         .astype(np.float32) * 2 - 1)
+    out_j = model.apply({"params": jax.tree.map(jnp.asarray, tree)},
+                        jnp.asarray(x))
+    with torch.no_grad():
+        out_t = m(torch.tensor(x.transpose(0, 4, 1, 2, 3)))
+    assert out_j.shape == (2, 10)
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_i3d_features_pipeline():
+    from magicdance_tpu.metrics.core import (
+        frechet_distance,
+        gaussian_frechet_stats,
+    )
+    from magicdance_tpu.metrics.i3d_flax import (
+        I3D,
+        convert_i3d,
+        i3d_features_from_state_dict,
+    )
+
+    torch.manual_seed(1)
+    m = TorchI3D(num_classes=8, width=0.25).eval()
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+
+    rng = np.random.RandomState(0)
+    vids = [rng.randint(0, 255, (9, 56, 56, 3), np.uint8) for _ in range(3)]
+    import magicdance_tpu.metrics.i3d_flax as mod
+
+    # run the feature helper with the small oracle config
+    model = mod.I3D(num_classes=8, width=0.25)
+    params = {"params": jax.tree.map(jnp.asarray, convert_i3d(sd))}
+    fn = jax.jit(lambda v: model.apply(params, v))
+    feats = np.stack([
+        np.asarray(fn((jnp.asarray(v, jnp.float32) / 127.5 - 1.0)[None]))[0]
+        for v in vids
+    ])
+    assert feats.shape == (3, 8)
+    assert np.isfinite(feats).all()
+    mu, s = gaussian_frechet_stats(np.tile(feats, (3, 1)))
+    assert frechet_distance(mu, s, mu, s) == pytest.approx(0.0, abs=1e-5)

@@ -616,3 +616,113 @@ class TorchMotionModule(nn.Module):
 
     def forward(self, x, video_length):
         return self.temporal_transformer(x, video_length)
+
+
+# ---------------------------------------------------------------------------
+# Compact I3D oracle (Kinetics InceptionI3d layout: end_points named
+# Conv3d_*/Mixed_* with Unit3D conv3d/bn children — the
+# i3d_pretrained_400.pt key format FVD uses, ref tool/metrics/features.py).
+# Written from the public DeepMind I3D spec; width-scalable for fast tests.
+# ---------------------------------------------------------------------------
+
+
+def _same_pad_3d(x, k, s):
+    _, _, t, h, w = x.shape
+    pads = []
+    for dim, size in ((2, t), (3, h), (4, w)):
+        i = dim - 2
+        if size % s[i] == 0:
+            p = max(k[i] - s[i], 0)
+        else:
+            p = max(k[i] - (size % s[i]), 0)
+        pads.append((p // 2, p - p // 2))
+    (tf, tb), (hf, hb), (wf, wb) = pads
+    return F.pad(x, (wf, wb, hf, hb, tf, tb))
+
+
+class I3DUnit(nn.Module):
+    def __init__(self, cin, cout, k=(1, 1, 1), s=(1, 1, 1), bn=True,
+                 act=True, bias=False):
+        super().__init__()
+        self.k, self.s, self.use_bn, self.act = k, s, bn, act
+        self.conv3d = nn.Conv3d(cin, cout, k, s, padding=0, bias=bias)
+        if bn:
+            self.bn = nn.BatchNorm3d(cout, eps=0.001, momentum=0.01)
+
+    def forward(self, x):
+        x = self.conv3d(_same_pad_3d(x, self.k, self.s))
+        if self.use_bn:
+            x = self.bn(x)
+        if self.act:
+            x = F.relu(x)
+        return x
+
+
+def _same_maxpool_3d(x, k, s):
+    return F.max_pool3d(_same_pad_3d(x, k, s), k, s)
+
+
+class I3DMixed(nn.Module):
+    def __init__(self, cin, ch):
+        super().__init__()
+        self.b0 = I3DUnit(cin, ch[0])
+        self.b1a = I3DUnit(cin, ch[1])
+        self.b1b = I3DUnit(ch[1], ch[2], (3, 3, 3))
+        self.b2a = I3DUnit(cin, ch[3])
+        self.b2b = I3DUnit(ch[3], ch[4], (3, 3, 3))
+        self.b3b = I3DUnit(cin, ch[5])
+
+    def forward(self, x):
+        b0 = self.b0(x)
+        b1 = self.b1b(self.b1a(x))
+        b2 = self.b2b(self.b2a(x))
+        b3 = self.b3b(_same_maxpool_3d(x, (3, 3, 3), (1, 1, 1)))
+        return torch.cat([b0, b1, b2, b3], dim=1)
+
+
+class TorchI3D(nn.Module):
+    MIXED = {
+        "Mixed_3b": (64, 96, 128, 16, 32, 32),
+        "Mixed_3c": (128, 128, 192, 32, 96, 64),
+        "Mixed_4b": (192, 96, 208, 16, 48, 64),
+        "Mixed_4c": (160, 112, 224, 24, 64, 64),
+        "Mixed_4d": (128, 128, 256, 24, 64, 64),
+        "Mixed_4e": (112, 144, 288, 32, 64, 64),
+        "Mixed_4f": (256, 160, 320, 32, 128, 128),
+        "Mixed_5b": (256, 160, 320, 32, 128, 128),
+        "Mixed_5c": (384, 192, 384, 48, 128, 128),
+    }
+
+    def __init__(self, num_classes=400, width=1.0):
+        super().__init__()
+        c = lambda n: max(1, int(round(n * width)))
+        setattr(self, "Conv3d_1a_7x7", I3DUnit(3, c(64), (7, 7, 7), (2, 2, 2)))
+        setattr(self, "Conv3d_2b_1x1", I3DUnit(c(64), c(64)))
+        setattr(self, "Conv3d_2c_3x3", I3DUnit(c(64), c(192), (3, 3, 3)))
+        cin = c(192)
+        for name, ch in self.MIXED.items():
+            ch = tuple(c(v) for v in ch)
+            setattr(self, name, I3DMixed(cin, ch))
+            cin = ch[0] + ch[2] + ch[4] + ch[5]
+        self.logits = I3DUnit(cin, num_classes, bn=False, act=False, bias=True)
+
+    def forward(self, x):
+        x = getattr(self, "Conv3d_1a_7x7")(x)
+        x = _same_maxpool_3d(x, (1, 3, 3), (1, 2, 2))
+        x = getattr(self, "Conv3d_2b_1x1")(x)
+        x = getattr(self, "Conv3d_2c_3x3")(x)
+        x = _same_maxpool_3d(x, (1, 3, 3), (1, 2, 2))
+        x = getattr(self, "Mixed_3b")(x)
+        x = getattr(self, "Mixed_3c")(x)
+        x = _same_maxpool_3d(x, (3, 3, 3), (2, 2, 2))
+        for name in ("Mixed_4b", "Mixed_4c", "Mixed_4d", "Mixed_4e",
+                     "Mixed_4f"):
+            x = getattr(self, name)(x)
+        x = _same_maxpool_3d(x, (2, 2, 2), (2, 2, 2))
+        x = getattr(self, "Mixed_5b")(x)
+        x = getattr(self, "Mixed_5c")(x)
+        kh, kw = min(7, x.shape[3]), min(7, x.shape[4])
+        x = F.avg_pool3d(x, (1, kh, kw), (1, 1, 1))
+        x = self.logits(x)
+        x = x.mean(dim=(3, 4))  # spatial
+        return x.mean(dim=2)  # time -> (B, classes)
