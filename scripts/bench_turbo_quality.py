@@ -1,0 +1,83 @@
+"""Turbo-mode quality validation: stride x (speedup, PSNR/SSIM vs exact).
+
+No reference/SD checkpoints are obtainable in this environment (zero
+egress), so this measures turbo-vs-EXACT output deltas on a fixed seed with
+random full-scale weights — the structural approximation error of each
+turbo mode (cached uncond / guidance interval / pose reuse / DeepCache)
+relative to the exact trajectory, decoded to pixels. Caveat recorded in
+BENCH.md: random weights lack the temporal smoothness trained nets have, so
+these deltas are PESSIMISTIC bounds for DeepCache/uncond reuse (both exploit
+smoothness of trajectories in t).
+
+Usage: python scripts/bench_turbo_quality.py
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magicdance_tpu.config import ModelConfig, SampleConfig
+from magicdance_tpu.pipeline import MagicPosePipeline
+
+FRAMES = int(os.environ.get("FRAMES", "8"))
+STEPS, SIZE = 50, 512
+
+cfg = ModelConfig()
+pipe = MagicPosePipeline(cfg)
+pipe.fast_init_params(jax.random.PRNGKey(0), image_size=SIZE, scale=0.02)
+pipe.cast_model_params(jnp.bfloat16)
+pose = jax.random.uniform(jax.random.PRNGKey(1), (FRAMES, SIZE, SIZE, 3))
+ref = jax.random.uniform(jax.random.PRNGKey(2), (1, SIZE, SIZE, 3)) * 2 - 1
+
+variants = {
+    "exact": SampleConfig(steps=STEPS, cfg_scale=7.0),
+    "cfg_interval": SampleConfig(steps=STEPS, cfg_scale=7.0,
+                                 cfg_interval=(0.15, 0.85)),
+    "uncond_every2": SampleConfig(steps=STEPS, cfg_scale=7.0, uncond_every=2),
+    "pose_every2": SampleConfig(steps=STEPS, cfg_scale=7.0, pose_every=2),
+    "deepcache2": SampleConfig(steps=STEPS, cfg_scale=7.0, deepcache_every=2),
+    "all_stride2": SampleConfig(steps=STEPS, cfg_scale=7.0, deepcache_every=2,
+                                pose_every=2, uncond_every=2,
+                                cfg_interval=(0.15, 0.85)),
+    "all_stride3": SampleConfig(steps=STEPS, cfg_scale=7.0, deepcache_every=3,
+                                pose_every=3, uncond_every=2,
+                                cfg_interval=(0.15, 0.85)),
+}
+
+exact_u8 = None
+for name, scfg in variants.items():
+    def to_u8(x):
+        return np.clip((np.asarray(x) + 1.0) * 127.5, 0, 255).astype(np.uint8)
+
+    t0 = time.time()
+    u8 = to_u8(pipe.sample_frames(jax.random.PRNGKey(3), pose, ref, scfg))
+    compile_s = time.time() - t0
+    t0 = time.time()
+    u8 = to_u8(pipe.sample_frames(jax.random.PRNGKey(3), pose, ref, scfg))
+    run_s = time.time() - t0
+    rec = {"variant": name, "fps": round(FRAMES / run_s, 3),
+           "compile_s": round(compile_s, 1)}
+    if name == "exact":
+        exact_u8 = u8
+        rec["psnr_vs_exact"] = None
+        rec["ssim_vs_exact"] = None
+    else:
+        from magicdance_tpu.metrics.center import luma_uint8
+        from magicdance_tpu.metrics.core import psnr, ssim
+
+        a = jnp.asarray(u8, jnp.float32) / 255.0
+        b = jnp.asarray(exact_u8, jnp.float32) / 255.0
+        ga = jnp.asarray(luma_uint8(u8.astype(np.float32)),
+                         jnp.float32)[..., None] / 255.0
+        gb = jnp.asarray(luma_uint8(exact_u8.astype(np.float32)),
+                         jnp.float32)[..., None] / 255.0
+        rec["psnr_vs_exact"] = round(float(psnr(a, b)), 2)
+        rec["ssim_vs_exact"] = round(float(ssim(ga, gb)), 4)
+    print(json.dumps(rec), flush=True)
