@@ -36,12 +36,31 @@ def nonlinearity(x: jax.Array) -> jax.Array:
     return nn.silu(x)
 
 
+class _GNParams(nn.Module):
+    """Scale/bias holder matching nn.GroupNorm's param layout (so the
+    checkpoint tree is identical whichever compute path runs)."""
+
+    @nn.compact
+    def __call__(self, c: int):
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return scale, bias
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm(32) computed in fp32 regardless of compute dtype
-    (ref: openaimodel GroupNorm32 casts to float)."""
+    (ref: openaimodel GroupNorm32 casts to float).
+
+    `act=True` fuses the following SiLU; on TPU (outside training's
+    forced-XLA context) the GN+SiLU pair dispatches to a fused Pallas kernel
+    that keeps the activation in VMEM across the stats and normalize passes
+    (1 HBM read instead of 2 — measured 1.4x at the UNet's three larger GN
+    shapes, flat/loss at 8x8 which stays on XLA). Both paths share the same
+    math as flax's GroupNorm (E[x^2]-E[x]^2 variance, fp32)."""
 
     epsilon: float = 1e-5
     num_groups: int = 32
+    act: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -50,13 +69,34 @@ class GroupNorm32(nn.Module):
         orig_dtype = x.dtype
         c = x.shape[-1]
         groups = self.num_groups if c % self.num_groups == 0 else math.gcd(c, self.num_groups)
-        h = nn.GroupNorm(
-            num_groups=groups,
-            epsilon=self.epsilon,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-            name="norm",
-        )(x.astype(jnp.float32))
+        scale, bias = _GNParams(name="norm")(c)
+
+        use_pallas = False
+        if self.act and x.ndim == 4 and c % groups == 0:
+            from magicdance_tpu.ops.attention import _IMPL_OVERRIDE
+
+            hw = x.shape[1] * x.shape[2]
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                and _IMPL_OVERRIDE.get() != "xla"  # training: forward-only
+                and hw >= 256
+            )
+        if use_pallas:
+            from magicdance_tpu.ops.pallas.groupnorm import groupnorm_silu
+
+            return groupnorm_silu(x, scale, bias, groups=groups,
+                                  eps=self.epsilon)
+
+        xf = x.astype(jnp.float32)
+        red = tuple(range(1, x.ndim - 1))
+        xg = xf.reshape(xf.shape[:-1] + (groups, c // groups))
+        mean = jnp.mean(xg, axis=red + (x.ndim,), keepdims=True)
+        mean2 = jnp.mean(xg * xg, axis=red + (x.ndim,), keepdims=True)
+        var = jnp.maximum(mean2 - mean * mean, 0.0)
+        h = ((xg - mean) * jax.lax.rsqrt(var + self.epsilon)).reshape(xf.shape)
+        h = h * scale + bias
+        if self.act:
+            h = h * jax.nn.sigmoid(h)
         return h.astype(orig_dtype)
 
 
@@ -121,16 +161,14 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, emb: jax.Array, *, deterministic: bool = True) -> jax.Array:
-        h = GroupNorm32(name="norm_in")(x)
-        h = nonlinearity(h)
+        h = GroupNorm32(name="norm_in", act=True)(x)
         h = conv3x3(self.out_channels, dtype=self.dtype, name="conv_in")(h)
 
         e = nonlinearity(emb)
         e = dense(self.out_channels, dtype=self.dtype, name="emb_proj")(e)
         h = h + e[:, None, None, :].astype(h.dtype)
 
-        h = GroupNorm32(name="norm_out")(h)
-        h = nonlinearity(h)
+        h = GroupNorm32(name="norm_out", act=True)(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         # zero-init output conv: block starts as identity (ref zero_module)

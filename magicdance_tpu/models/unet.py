@@ -342,8 +342,7 @@ class UNet(nn.Module):
         if bank_read is not None:
             assert not bank_read, "unconsumed bank entries"
 
-        h = GroupNorm32(name="norm_out")(h)
-        h = nonlinearity(h)
+        h = GroupNorm32(name="norm_out", act=True)(h)
         h = conv3x3(cfg.out_channels, dtype=dtype, name="conv_out", zero_init=True)(h)
         if collect_deep:
             return h.astype(jnp.float32), tuple(bank_written), deep_feature

@@ -56,6 +56,13 @@ def main():
         trainer = Trainer(cfg, model, vae, clip)
         state = trainer.create_state(params["model"], params["vae"],
                                      params["clip"])
+        # the source f32 tree (~10 GB at full scale) must not stay alive on
+        # device next to the train state (frozen copies are bf16)
+        if bs == BS_LIST[-1]:
+            pipe.params = None
+            params = None
+            import gc
+            gc.collect()
         n_train = sum(int(np.prod(p.shape))
                       for p in jax.tree.leaves(state.train_params))
         batch = {
@@ -72,7 +79,7 @@ def main():
             compile_s = time.time() - t0
             # steady state
             times = []
-            for it in range(3):
+            for it in range(2):
                 t0 = time.time()
                 new_state, metrics = step(new_state, batch,
                                           jax.random.PRNGKey(2 + it))
