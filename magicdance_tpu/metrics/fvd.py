@@ -5,13 +5,18 @@ fid-vid paths; tool/metrics/inception3d.py [I3D, FVD], resnet3d.py
 [3D-ResNet50, FID-VID]). Zero-egress environment: the pretrained 3D
 backbones must be supplied locally —
 
-  * FVD: the I3D rgb_imagenet TorchScript/torch file;
-  * FID-VID: a 3D-ResNet50 state dict / torchscript file.
+  * FVD: the public I3D state dict (`i3d_pretrained_400.pt`) — runs through
+    the first-party Flax I3D (metrics/i3d_flax.py) on the JAX backend;
+  * FID-VID: the Kinetics 3D-ResNet50 state dict
+    (`resnet-50-kinetics.pth`) — first-party Flax port
+    (metrics/resnet3d_flax.py);
+  * TorchScript files still work as a torch-CPU fallback.
 
-Feature extraction runs on torch CPU (offline eval work, same as the
-reference); the Frechet math is shared with image FID (metrics/core.py).
-Videos are (T, H, W, 3) uint8 folders or arrays; clips are resampled to the
-backbone's expected length/size.
+The Frechet math is shared with image FID (metrics/core.py). Videos are
+(T, H, W, 3) uint8 folders or arrays; clips are resampled to the backbone's
+expected length/size. Per-backbone preprocessing follows the reference
+(ref utils.py:498-503: [-1,1] for I3D, pixel-mean subtraction for the
+3D-ResNet).
 """
 
 from __future__ import annotations
@@ -36,6 +41,10 @@ def _load_video_model(weights_path: str):
             sd = obj.get("state_dict", obj)
             if any(k.startswith("Conv3d_1a_7x7") for k in sd):
                 return "flax", {k: v for k, v in sd.items()}
+            if any(k.removeprefix("module.").startswith("layer1.0.conv1")
+                   for k in sd):
+                # Kinetics 3D-ResNet50 (resnet-50-kinetics.pth) -> FID-VID
+                return "flax_r3d", {k: v for k, v in sd.items()}
     except Exception:
         pass
     try:
@@ -86,21 +95,44 @@ def video_features(
         i3d = I3D()
         params = {"params": jax.tree.map(jnp.asarray, convert_i3d(model))}
         fn = jax.jit(lambda v: i3d.apply(params, v))
+    elif engine == "flax_r3d":
+        import jax
+        import jax.numpy as jnp
+
+        from magicdance_tpu.metrics.resnet3d_flax import (
+            ResNet3D,
+            convert_resnet3d,
+        )
+
+        r3d = ResNet3D()
+        params = {"params": jax.tree.map(jnp.asarray,
+                                         convert_resnet3d(model))}
+        fn = jax.jit(lambda v: r3d.apply(params, v))
     feats = []
     buf = []
 
     def flush():
         if not buf:
             return
-        x = np.stack(buf).astype(np.float32) / 127.5 - 1.0  # (B, T, H, W, 3)
-        if engine == "flax":
+        x = np.stack(buf).astype(np.float32)  # (B, T, H, W, 3) 0-255
+        if engine in ("flax", "flax_r3d"):
             import jax.numpy as jnp
 
-            out = np.asarray(fn(jnp.asarray(x)))
+            if engine == "flax":
+                # I3D preprocessing: [-1, 1] (ref utils.py:501-503)
+                xn = x / 127.5 - 1.0
+            else:
+                # 3D-ResNet: pixel-mean subtraction (ref utils.py:463,499)
+                from magicdance_tpu.metrics.resnet3d_flax import (
+                    KINETICS_PIXEL_MEAN,
+                )
+
+                xn = x - np.asarray(KINETICS_PIXEL_MEAN, np.float32)
+            out = np.asarray(fn(jnp.asarray(xn)))
             feats.append(out.reshape(len(buf), -1))
             buf.clear()
             return
-        x = torch.from_numpy(x).permute(0, 4, 1, 2, 3)  # (B, 3, T, H, W)
+        x = torch.from_numpy(x / 127.5 - 1.0).permute(0, 4, 1, 2, 3).float()
         with torch.no_grad():
             out = model(x)
         feats.append(out.cpu().numpy().reshape(len(buf), -1))

@@ -66,3 +66,36 @@ def test_i3d_features_pipeline():
     assert np.isfinite(feats).all()
     mu, s = gaussian_frechet_stats(np.tile(feats, (3, 1)))
     assert frechet_distance(mu, s, mu, s) == pytest.approx(0.0, abs=1e-5)
+
+
+def test_resnet3d_conversion_parity():
+    """Flax 3D-ResNet50 (FID-VID backbone) reproduces the torch oracle from
+    converted Kinetics-layout weights."""
+    from torch_ref import TorchResNet3D
+
+    from magicdance_tpu.metrics.resnet3d_flax import ResNet3D, convert_resnet3d
+
+    torch.manual_seed(2)
+    layers = (1, 1, 1, 1)  # depth-reduced for test speed; same key format
+    m = TorchResNet3D(layers=layers, width=0.25).eval()
+    for mod in m.modules():
+        if isinstance(mod, torch.nn.BatchNorm3d):
+            mod.running_mean.normal_(0, 0.5)
+            mod.running_var.uniform_(0.5, 1.5)
+    # simulate the checkpoint container (module. prefix, ref features.py:34)
+    sd = {f"module.{k}": v.detach().numpy() for k, v in m.state_dict().items()}
+    tree = convert_resnet3d(sd, layers=layers)
+
+    model = ResNet3D(layers=layers, width=0.25)
+    rng = np.random.RandomState(1)
+    x = (rng.rand(2, 16, 64, 64, 3) * 255).astype(np.float32)
+    from magicdance_tpu.metrics.resnet3d_flax import KINETICS_PIXEL_MEAN
+
+    xn = x - np.asarray(KINETICS_PIXEL_MEAN, np.float32)
+    out_j = model.apply({"params": jax.tree.map(jnp.asarray, tree)},
+                        jnp.asarray(xn))
+    with torch.no_grad():
+        out_t = m(torch.tensor(xn.transpose(0, 4, 1, 2, 3)))
+    assert out_j.shape == out_t.shape
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(),
+                               atol=3e-3, rtol=3e-3)

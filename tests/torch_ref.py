@@ -726,3 +726,64 @@ class TorchI3D(nn.Module):
         x = self.logits(x)
         x = x.mean(dim=(3, 4))  # spatial
         return x.mean(dim=2)  # time -> (B, classes)
+
+
+# ---------------------------------------------------------------------------
+# Compact 3D-ResNet50 oracle (Kinetics layout: conv1/bn1/layerX.i.convY keys
+# — the resnet-50-kinetics.pth format FID-VID uses, ref tool/metrics/
+# features.py:31-40). From the public Hara et al. spec; width-scalable.
+# ---------------------------------------------------------------------------
+
+
+class R3Bottleneck(nn.Module):
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv3d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm3d(planes)
+        self.conv2 = nn.Conv3d(planes, planes, 3, stride, 1, bias=False)
+        self.bn2 = nn.BatchNorm3d(planes)
+        self.conv3 = nn.Conv3d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm3d(planes * 4)
+        self.downsample = downsample
+
+    def forward(self, x):
+        r = x if self.downsample is None else self.downsample(x)
+        h = F.relu(self.bn1(self.conv1(x)))
+        h = F.relu(self.bn2(self.conv2(h)))
+        h = self.bn3(self.conv3(h))
+        return F.relu(h + r)
+
+
+class TorchResNet3D(nn.Module):
+    def __init__(self, layers=(3, 4, 6, 3), width=1.0):
+        super().__init__()
+        c = lambda n: max(1, int(round(n * width)))
+        self.conv1 = nn.Conv3d(3, c(64), 7, (1, 2, 2), 3, bias=False)
+        self.bn1 = nn.BatchNorm3d(c(64))
+        self.maxpool = nn.MaxPool3d(3, 2, 1)
+        inpl = c(64)
+        for li, (pl, n, st) in enumerate(
+            zip((64, 128, 256, 512), layers, (1, 2, 2, 2))
+        ):
+            p = c(pl)
+            blocks = []
+            for i in range(n):
+                s = st if i == 0 else 1
+                ds = None
+                if i == 0 and (s != 1 or inpl != p * 4):
+                    ds = nn.Sequential(
+                        nn.Conv3d(inpl, p * 4, 1, s, bias=False),
+                        nn.BatchNorm3d(p * 4))
+                blocks.append(R3Bottleneck(inpl, p, s, ds))
+                inpl = p * 4
+            setattr(self, f"layer{li + 1}", nn.Sequential(*blocks))
+
+    def forward(self, x):
+        t_in, s_in = x.shape[2], x.shape[3]
+        h = self.maxpool(F.relu(self.bn1(self.conv1(x))))
+        for li in range(1, 5):
+            h = getattr(self, f"layer{li}")(h)
+        kt = min(h.shape[2], math.ceil(t_in / 16))
+        ks = min(h.shape[3], math.ceil(s_in / 32))
+        h = F.avg_pool3d(h, (kt, ks, ks), stride=1)
+        return h.flatten(1)
