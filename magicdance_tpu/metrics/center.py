@@ -128,6 +128,8 @@ def get_all_eval_scores(
     gt_name: str = "gt_images",
     lpips_weights: Optional[str] = None,
     inception_weights: Optional[str] = None,
+    i3d_weights: Optional[str] = None,
+    resnet3d_weights: Optional[str] = None,
 ) -> dict:
     """Walk `{root}/{seq}/{gen_images,gt_images}` trees (flat folders also
     accepted) and aggregate (ref metric_center.py:678)."""
@@ -162,6 +164,39 @@ def get_all_eval_scores(
         fid = compute_fid_multi(seqs, gen_name, gt_name, inception_weights)
         if fid is not None:
             results["fid"] = fid
+
+    # video Frechet metrics: each sequence folder is one video of sorted
+    # frames (ref metric_center.py:692 'fvd': FVD-3DInception / I3D,
+    # 'fid-vid': FVD-3DRN50 / Kinetics 3D-ResNet50)
+    for mtype, weights, notice in (
+        ("fvd", i3d_weights, "--i3d_weights"),
+        ("fid-vid", resnet3d_weights, "--resnet3d_weights"),
+    ):
+        if mtype not in types:
+            continue
+        if not weights:
+            print(f"[metrics] skipping {mtype}: no {notice} "
+                  "(zero-egress environment: 3D backbone file required)")
+            continue
+        from magicdance_tpu.metrics.fvd import frechet_video_distance
+
+        results[mtype] = frechet_video_distance(
+            [os.path.join(s, gen_name) for s in seqs],
+            [os.path.join(s, gt_name) for s in seqs], weights)
+
+    if "is" in types:
+        if not inception_weights:
+            print("[metrics] skipping IS: no --inception_weights")
+        else:
+            from magicdance_tpu.metrics.core import inception_score_from_logits
+            from magicdance_tpu.metrics.fid import folder_logits
+
+            logits = np.concatenate([
+                folder_logits(os.path.join(s, gen_name), inception_weights)
+                for s in seqs])
+            splits = min(10, max(1, len(logits)))
+            m, s = inception_score_from_logits(logits, splits=splits)
+            results["is_mean"], results["is_std"] = m, s
     return results
 
 
@@ -190,6 +225,10 @@ def main(argv=None) -> None:
                             "fid-vid", "fvd", "is"])
     p.add_argument("--lpips_weights", default=None)
     p.add_argument("--inception_weights", default=None)
+    p.add_argument("--i3d_weights", default=None,
+                   help="I3D state dict (i3d_pretrained_400.pt) for FVD")
+    p.add_argument("--resnet3d_weights", default=None,
+                   help="Kinetics 3D-ResNet50 state dict for FID-VID")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -197,6 +236,8 @@ def main(argv=None) -> None:
         args.root, args.type,
         lpips_weights=args.lpips_weights,
         inception_weights=args.inception_weights,
+        i3d_weights=args.i3d_weights,
+        resnet3d_weights=args.resnet3d_weights,
     )
     print(json.dumps(res, indent=2))
     out = args.out or os.path.join(args.root, "results.json")

@@ -111,6 +111,61 @@ def folder_features(
     return np.concatenate(feats) if feats else np.zeros((0, 2048), np.float32)
 
 
+def folder_logits(
+    folder: str, weights_path: str, batch: int = 32, size: int = 299
+) -> np.ndarray:
+    """Class logits (N, 1000) for every image in a folder — the inception
+    score input (ref tool/metrics/utils.py:517-531 'clean_InceptionScore').
+
+    Torchvision-layout state dicts run through the Flax InceptionV3 (which
+    returns (pool, logits)); TorchScript clean-fid files run on torch CPU
+    without `return_features` so the script returns logits."""
+    files = sorted(
+        f for f in os.listdir(folder)
+        if f.lower().endswith((".png", ".jpg", ".jpeg"))
+    )
+    try:
+        from magicdance_tpu.metrics.inception_flax import FlaxInceptionExtractor
+
+        extractor = FlaxInceptionExtractor(weights_path)
+        out = []
+        for i in range(0, len(files), batch):
+            imgs = []
+            for f in files[i : i + batch]:
+                img = Image.open(os.path.join(folder, f)).convert("RGB")
+                imgs.append(np.asarray(img.resize((size, size), Image.BICUBIC),
+                                       np.float32) / 255.0)
+            _, logits = extractor(np.stack(imgs))
+            out.append(logits)
+        return (np.concatenate(out) if out
+                else np.zeros((0, 1000), np.float32))
+    except (KeyError, ValueError):
+        pass  # not a torchvision-layout state dict -> torch path
+
+    import torch
+
+    kind, model = _load_extractor(weights_path)
+    out = []
+    with torch.no_grad():
+        for i in range(0, len(files), batch):
+            imgs = []
+            for f in files[i : i + batch]:
+                img = Image.open(os.path.join(folder, f)).convert("RGB")
+                imgs.append(np.asarray(img.resize((size, size), Image.BICUBIC),
+                                       np.float32))
+            x = torch.from_numpy(np.stack(imgs)).permute(0, 3, 1, 2)
+            if kind != "torchscript":
+                # the torchvision fallback strips fc for features — pre-fc
+                # activations are NOT logits; refuse rather than mis-score
+                raise ValueError(
+                    "inception score needs class logits: supply the clean-fid"
+                    " TorchScript InceptionV3 or a torchvision-layout state "
+                    "dict (Flax path)")
+            y = model(x)  # clean-fid script: logits without the flag
+            out.append(y.cpu().numpy().reshape(len(imgs), -1))
+    return np.concatenate(out) if out else np.zeros((0, 1000), np.float32)
+
+
 def fid_between_folders(
     gen_dir: str, gt_dir: str, weights_path: str
 ) -> float:

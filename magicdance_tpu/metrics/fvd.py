@@ -76,16 +76,40 @@ def _resample_clip(video: np.ndarray, length: int) -> np.ndarray:
     return video[idx]
 
 
+def segment_clips(video: np.ndarray, length: int) -> list[np.ndarray]:
+    """Split a (T, H, W, 3) video into ceil(T/length) contiguous clips,
+    padding the tail by repeating the last frame (the reference FID-VID
+    convention, ref utils.py:310-319)."""
+    t = video.shape[0]
+    if t == 0:
+        return [np.zeros((length,) + video.shape[1:], video.dtype)]
+    pad = (-t) % length
+    if pad:
+        video = np.concatenate([video, np.repeat(video[-1:], pad, axis=0)])
+    return list(video.reshape(-1, length, *video.shape[1:]))
+
+
 def video_features(
     videos: Iterable[np.ndarray],
     weights_path: str,
     clip_len: int = 16,
     batch: int = 2,
+    segment: Optional[bool] = None,
+    _loaded=None,
 ) -> np.ndarray:
-    """Features per video; each video (T, H, W, 3) uint8."""
+    """Features per clip; each video (T, H, W, 3) uint8.
+
+    `segment=True` uses the reference FID-VID convention (contiguous
+    16-frame chunks, one feature per chunk); `segment=False` resamples each
+    video to one fixed-length clip (jit-friendly — one compiled shape).
+    Default: segment for the 3D-ResNet (FID-VID), resample for I3D (FVD,
+    where the reference feeds the whole variable-length video)."""
     import torch
 
-    engine, model = _load_video_model(weights_path)
+    engine, model = _loaded if _loaded is not None \
+        else _load_video_model(weights_path)
+    if segment is None:
+        segment = engine == "flax_r3d"
     if engine == "flax":
         import jax
         import jax.numpy as jnp
@@ -139,11 +163,42 @@ def video_features(
         buf.clear()
 
     for v in videos:
-        buf.append(_resample_clip(v, clip_len))
+        if segment:
+            buf.extend(segment_clips(v, clip_len))
+        else:
+            buf.append(_resample_clip(v, clip_len))
         if len(buf) >= batch:
             flush()
     flush()
     return np.concatenate(feats) if feats else np.zeros((0, 400), np.float32)
+
+
+def frechet_video_distance(
+    gen_dirs: list[str],
+    gt_dirs: list[str],
+    weights_path: str,
+    clip_len: int = 16,
+    size: Optional[int] = None,
+) -> float:
+    """Frechet distance between the video features of two lists of frame
+    folders. Frame size and clip handling follow the backbone the weights
+    resolve to (ref utils.py:294: 112² segmented clips for the FID-VID
+    3D-ResNet; 224² for I3D/FVD)."""
+    from magicdance_tpu.metrics.core import (
+        frechet_distance,
+        gaussian_frechet_stats,
+    )
+
+    loaded = _load_video_model(weights_path)
+    if size is None:
+        size = 112 if loaded[0] == "flax_r3d" else 224
+    gen_videos = (load_video_frames(d, size) for d in gen_dirs)
+    gt_videos = (load_video_frames(d, size) for d in gt_dirs)
+    f1 = video_features(gen_videos, weights_path, clip_len, _loaded=loaded)
+    f2 = video_features(gt_videos, weights_path, clip_len, _loaded=loaded)
+    mu1, s1 = gaussian_frechet_stats(f1)
+    mu2, s2 = gaussian_frechet_stats(f2)
+    return frechet_distance(mu1, s1, mu2, s2)
 
 
 def fvd_between_roots(
@@ -157,19 +212,9 @@ def fvd_between_roots(
     """Walk `{root}/{seq}/{gen,gt}` video folders and compute the Frechet
     distance between pooled video features (FVD with I3D weights, FID-VID
     with a 3D-ResNet)."""
-    from magicdance_tpu.metrics.core import (
-        frechet_distance,
-        gaussian_frechet_stats,
-    )
-
     seqs = [d for d in sorted(os.listdir(gen_root))
             if os.path.isdir(os.path.join(gen_root, d, gen_name))]
-    gen_videos = (load_video_frames(os.path.join(gen_root, s, gen_name))
-                  for s in seqs)
-    gt_videos = (load_video_frames(os.path.join(gt_root, s, gt_name))
-                 for s in seqs)
-    f1 = video_features(gen_videos, weights_path, clip_len)
-    f2 = video_features(gt_videos, weights_path, clip_len)
-    mu1, s1 = gaussian_frechet_stats(f1)
-    mu2, s2 = gaussian_frechet_stats(f2)
-    return frechet_distance(mu1, s1, mu2, s2)
+    return frechet_video_distance(
+        [os.path.join(gen_root, s, gen_name) for s in seqs],
+        [os.path.join(gt_root, s, gt_name) for s in seqs],
+        weights_path, clip_len)

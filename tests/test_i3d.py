@@ -99,3 +99,81 @@ def test_resnet3d_conversion_parity():
     assert out_j.shape == out_t.shape
     np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(),
                                atol=3e-3, rtol=3e-3)
+
+def test_segment_clips_reference_convention():
+    """Contiguous 16-frame chunks with last-frame tail padding
+    (ref utils.py:310-319)."""
+    from magicdance_tpu.metrics.fvd import segment_clips
+
+    v = np.arange(18)[:, None, None, None] * np.ones((1, 4, 4, 3), np.uint8)
+    clips = segment_clips(v, 16)
+    assert len(clips) == 2 and clips[0].shape == (16, 4, 4, 3)
+    assert (clips[0][:, 0, 0, 0] == np.arange(16)).all()
+    # tail: frames 16,17 then 14 copies of frame 17
+    assert (clips[1][:2, 0, 0, 0] == [16, 17]).all()
+    assert (clips[1][2:, 0, 0, 0] == 17).all()
+    # exact multiple: no padding; empty: one zero clip
+    assert len(segment_clips(v[:16], 16)) == 1
+    z = segment_clips(np.zeros((0, 4, 4, 3), np.uint8), 16)
+    assert len(z) == 1 and (z[0] == 0).all()
+
+
+def _write_tree(root, seqs=("a", "b"), frames=18, size=24, kinds=("gen_images", "gt_images")):
+    import os
+
+    from PIL import Image
+
+    for seq in seqs:
+        for kind in kinds:
+            d = os.path.join(str(root), seq, kind)
+            os.makedirs(d, exist_ok=True)
+            r = np.random.RandomState(abs(hash((seq, kind))) % 2**31)
+            for i in range(frames):
+                Image.fromarray(r.randint(0, 255, (size, size, 3), np.uint8)
+                                ).save(os.path.join(d, f"{i:03d}.png"))
+
+
+def test_center_video_metrics_skipped_without_weights(tmp_path, capsys):
+    from magicdance_tpu.metrics.center import get_all_eval_scores
+
+    _write_tree(tmp_path, frames=3)
+    res = get_all_eval_scores(str(tmp_path), ["l1", "fvd", "fid-vid", "is"])
+    assert "l1" in res and "fvd" not in res and "fid-vid" not in res
+    assert "is_mean" not in res
+    out = capsys.readouterr().out
+    assert "skipping fvd" in out and "skipping fid-vid" in out
+
+
+def test_center_fid_vid_end_to_end(tmp_path, monkeypatch):
+    """--type fid-vid through the CLI with a narrow Kinetics-layout
+    checkpoint: segmented-clip features -> finite Frechet; gen-vs-gen = 0."""
+    import json
+    import os
+
+    import magicdance_tpu.metrics.resnet3d_flax as r3d_mod
+    from magicdance_tpu.metrics import center
+    from torch_ref import TorchResNet3D
+
+    class NarrowR3D(r3d_mod.ResNet3D):
+        width: float = 0.125
+
+    monkeypatch.setattr(r3d_mod, "ResNet3D", NarrowR3D)
+
+    torch.manual_seed(3)
+    m = TorchResNet3D(layers=(3, 4, 6, 3), width=0.125).eval()
+    sd = {f"module.{k}": v for k, v in m.state_dict().items()}
+    wpath = tmp_path / "r3d.pth"
+    torch.save(sd, str(wpath))
+
+    _write_tree(tmp_path / "tree", frames=18)
+    center.main(["--root", str(tmp_path / "tree"), "--type", "fid-vid",
+                 "--resnet3d_weights", str(wpath)])
+    res = json.load(open(tmp_path / "tree" / "results.json"))
+    assert np.isfinite(res["fid-vid"]) and res["fid-vid"] >= 0
+
+    from magicdance_tpu.metrics.center import get_all_eval_scores
+
+    same = get_all_eval_scores(str(tmp_path / "tree"), ["fid-vid"],
+                               gt_name="gen_images",
+                               resnet3d_weights=str(wpath))
+    assert same["fid-vid"] == pytest.approx(0.0, abs=1e-4)

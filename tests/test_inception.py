@@ -56,3 +56,36 @@ def test_inception_structure_and_forward():
     k = np.asarray(params["params"]["Conv2d_1a_3x3"]["kernel"])
     ref = np.transpose(sd["Conv2d_1a_3x3.conv.weight"], (2, 3, 1, 0))
     np.testing.assert_allclose(k, ref, rtol=1e-3)
+
+def test_inception_score_cli_end_to_end(tmp_path):
+    """--type is through the metrics CLI: synthetic torchvision-layout
+    weights -> Flax logits -> finite IS mean/std (ref utils.py:517-531)."""
+    import json
+    import os
+
+    import torch
+    from PIL import Image
+
+    from magicdance_tpu.metrics import center
+
+    model = InceptionV3()
+    init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+    sd = {k: torch.tensor(v) for k, v in synth_torchvision_sd(init["params"]).items()}
+    wpath = tmp_path / "inception.pth"
+    torch.save(sd, str(wpath))
+
+    d = tmp_path / "seq" / "gen_images"
+    os.makedirs(d)
+    os.makedirs(tmp_path / "seq" / "gt_images")
+    rs = np.random.RandomState(1)
+    for i in range(4):
+        Image.fromarray(rs.randint(0, 255, (32, 32, 3), np.uint8)).save(
+            d / f"{i}.png")
+        Image.fromarray(rs.randint(0, 255, (32, 32, 3), np.uint8)).save(
+            tmp_path / "seq" / "gt_images" / f"{i}.png")
+
+    center.main(["--root", str(tmp_path), "--type", "is",
+                 "--inception_weights", str(wpath)])
+    res = json.load(open(tmp_path / "results.json"))
+    assert np.isfinite(res["is_mean"]) and res["is_mean"] >= 1.0
+    assert np.isfinite(res["is_std"])
