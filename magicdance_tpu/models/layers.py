@@ -51,12 +51,14 @@ class GroupNorm32(nn.Module):
     """GroupNorm(32) computed in fp32 regardless of compute dtype
     (ref: openaimodel GroupNorm32 casts to float).
 
-    `act=True` fuses the following SiLU; on TPU (outside training's
-    forced-XLA context) the GN+SiLU pair dispatches to a fused Pallas kernel
-    that keeps the activation in VMEM across the stats and normalize passes
-    (1 HBM read instead of 2 — measured 1.4x at the UNet's three larger GN
-    shapes, flat/loss at 8x8 which stays on XLA). Both paths share the same
-    math as flax's GroupNorm (E[x^2]-E[x]^2 variance, fp32)."""
+    `act=True` applies the following SiLU (in compute dtype, after the fp32
+    norm — identical graph to a separate `nonlinearity(.)` call). Setting
+    ``MAGICDANCE_FUSED_GN=1`` dispatches GN+SiLU to a fused Pallas kernel
+    (one HBM read) — 1.4x faster in ISOLATION at the three larger UNet GN
+    shapes but ~5% SLOWER end-to-end (0.945 vs 0.997 f/s serving headline):
+    the custom call is a fusion barrier that costs more than the saved
+    read. Off by default; kept for re-evaluation on future
+    toolchains (see BENCH.md "What was tried and rejected")."""
 
     epsilon: float = 1e-5
     num_groups: int = 32
@@ -69,35 +71,38 @@ class GroupNorm32(nn.Module):
         orig_dtype = x.dtype
         c = x.shape[-1]
         groups = self.num_groups if c % self.num_groups == 0 else math.gcd(c, self.num_groups)
-        scale, bias = _GNParams(name="norm")(c)
 
         use_pallas = False
         if self.act and x.ndim == 4 and c % groups == 0:
+            import os
+
             from magicdance_tpu.ops.attention import _IMPL_OVERRIDE
 
             hw = x.shape[1] * x.shape[2]
             use_pallas = (
-                jax.default_backend() == "tpu"
+                os.environ.get("MAGICDANCE_FUSED_GN", "0") == "1"
+                and jax.default_backend() == "tpu"
                 and _IMPL_OVERRIDE.get() != "xla"  # training: forward-only
                 and hw >= 256
             )
         if use_pallas:
+            scale, bias = _GNParams(name="norm")(c)
             from magicdance_tpu.ops.pallas.groupnorm import groupnorm_silu
 
             return groupnorm_silu(x, scale, bias, groups=groups,
                                   eps=self.epsilon)
 
-        xf = x.astype(jnp.float32)
-        red = tuple(range(1, x.ndim - 1))
-        xg = xf.reshape(xf.shape[:-1] + (groups, c // groups))
-        mean = jnp.mean(xg, axis=red + (x.ndim,), keepdims=True)
-        mean2 = jnp.mean(xg * xg, axis=red + (x.ndim,), keepdims=True)
-        var = jnp.maximum(mean2 - mean * mean, 0.0)
-        h = ((xg - mean) * jax.lax.rsqrt(var + self.epsilon)).reshape(xf.shape)
-        h = h * scale + bias
+        h = nn.GroupNorm(
+            num_groups=groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            name="norm",
+        )(x.astype(jnp.float32))
+        h = h.astype(orig_dtype)
         if self.act:
-            h = h * jax.nn.sigmoid(h)
-        return h.astype(orig_dtype)
+            h = nonlinearity(h)
+        return h
 
 
 def conv3x3(features: int, *, dtype, name: Optional[str] = None, zero_init: bool = False):

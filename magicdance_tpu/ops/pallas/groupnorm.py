@@ -1,12 +1,16 @@
-"""Fused GroupNorm(32)+SiLU Pallas kernel.
+"""Fused GroupNorm(32)+SiLU Pallas kernel — OPT-IN ONLY
+(``MAGICDANCE_FUSED_GN=1``), measured a net end-to-end LOSS.
 
 The UNet applies GroupNorm32 -> SiLU before most convs (ref openaimodel
 GroupNorm32/ResBlock in_layers/out_layers); XLA computes the group stats in
 one pass over the input and the normalize+affine+SiLU in a second fused
 pass — 2 HBM reads + 1 write. This kernel keeps one batch row's activation
-in VMEM across both phases: 1 read + 1 write, saving up to a third of the
-bandwidth of the ~35 ms/step elementwise bucket (BENCH.md "Where the time
-goes").
+in VMEM across both phases: 1 read + 1 write — 1.4x vs XLA in isolation at
+the three larger UNet GN shapes, but ~5% SLOWER on the full serving path
+(0.945 vs 0.997 f/s): the custom call is a fusion barrier, and XLA was
+already folding these elementwise ops into neighboring fusions. Kept for
+re-evaluation on future toolchains; BENCH.md "What was tried" has the full
+three-way measurement.
 
 Group stats are computed lane-natively: per-channel sum/sumsq column
 reductions (VPU-friendly, no (HW, G, C/G) lane-splitting reshape of the big
