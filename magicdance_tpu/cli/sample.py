@@ -31,6 +31,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="ModelConfig JSON (defaults to full SD1.5-scale MagicPose)")
     p.add_argument("--reference", required=True, help="reference image path")
     p.add_argument("--pose_dir", required=True, help="folder of pose maps")
+    p.add_argument("--image_hint_dir", default=None,
+                   help="folder of second-ControlNet hints (DUAL_CONTROL "
+                        "variant; same frame names as --pose_dir)")
     p.add_argument("--output", required=True)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--cfg", type=float, default=7.0)
@@ -140,6 +143,19 @@ def main(argv=None) -> None:
         for f in pose_files
     ])
 
+    ihints = None
+    if args.image_hint_dir:
+        ihints = np.stack([
+            to_hint_range(
+                prepare_image(
+                    np.asarray(Image.open(
+                        os.path.join(args.image_hint_dir, f)).convert("RGB")),
+                    args.size,
+                )
+            )
+            for f in pose_files
+        ])
+
     scfg = SampleConfig(steps=args.steps, cfg_scale=args.cfg, eta=args.eta,
                         wonoise=args.wonoise, window=args.window,
                         stride=args.stride,
@@ -171,9 +187,15 @@ def main(argv=None) -> None:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
             else:
                 pad = 0
+            ih = None
+            if ihints is not None:
+                ih = ihints[i : i + B]
+                if pad:
+                    ih = np.concatenate([ih, np.repeat(ih[-1:], pad, 0)])
+                ih = jnp.asarray(ih)
             imgs = pipe.sample_frames(rng, jnp.asarray(chunk),
                                       jnp.asarray(ref), scfg,
-                                      video=args.video)
+                                      video=args.video, image_hints=ih)
             imgs = np.asarray(imgs)
             if pad:
                 imgs = imgs[:-pad]

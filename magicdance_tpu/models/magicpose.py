@@ -106,6 +106,36 @@ class MagicPoseModel(nn.Module):
             deterministic=deterministic, dtype=self._dtype(),
         )
 
+    def compute_control_residuals(
+        self,
+        x_noisy: jax.Array,
+        pose_hint: Optional[jax.Array],
+        timesteps: jax.Array,
+        context: jax.Array,
+        image_hint: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> Optional[Tuple[jax.Array, ...]]:
+        """All residual-style control branches summed positionally: pose
+        ControlNet + (DUAL_CONTROL) image ControlNet (ref cldm.py:42-52
+        `hs.pop() + control.pop() + image_control.pop()`). This sum is the
+        quantity the turbo mode caches, so residual reuse keeps BOTH
+        branches."""
+        dtype = self._dtype()
+        res = None
+        if self.cfg.has_pose and pose_hint is not None:
+            res = self.pose_control(
+                x_noisy, pose_hint, timesteps, context,
+                deterministic=deterministic, dtype=dtype,
+            )
+        if self.cfg.has_image_control and image_hint is not None:
+            ir = self.image_control_model(
+                x_noisy, image_hint, timesteps, context,
+                deterministic=deterministic, dtype=dtype,
+            )
+            res = ir if res is None else tuple(
+                a + b for a, b in zip(res, ir))
+        return res
+
     def __call__(
         self,
         x_noisy: jax.Array,
@@ -185,26 +215,14 @@ class MagicPoseModel(nn.Module):
                 rep = x_noisy.shape[0] // bank[0].shape[0]
                 bank = tuple(jnp.repeat(e, rep, axis=0) for e in bank)
 
-        if (pose_residuals is None and self.cfg.has_pose
-                and pose_hint is not None):
-            pose_residuals = self.pose_control(
+        if pose_residuals is None:
+            # pose + (DUAL_CONTROL) image branches, summed positionally;
+            # a passed-in `pose_residuals` is the already-summed control
+            # tuple (the turbo cache), so both branches are reused together
+            pose_residuals = self.compute_control_residuals(
                 x_noisy, pose_hint, timesteps, context,
-                deterministic=deterministic, dtype=dtype,
+                image_hint=image_hint, deterministic=deterministic,
             )
-
-        if self.cfg.has_image_control and image_hint is not None:
-            # dual-ControlNet composition: the second branch's residuals sum
-            # positionally with the first (ref cldm.py:42-52:
-            # `hs.pop() + control.pop() + image_control.pop()`)
-            image_residuals = self.image_control_model(
-                x_noisy, image_hint, timesteps, context,
-                deterministic=deterministic, dtype=dtype,
-            )
-            if pose_residuals is None:
-                pose_residuals = image_residuals
-            else:
-                pose_residuals = tuple(
-                    a + b for a, b in zip(pose_residuals, image_residuals))
 
         res = self.unet(
             x_noisy, timesteps, context,
@@ -228,6 +246,7 @@ class MagicPoseModel(nn.Module):
         *,
         bank: Optional[Bank] = None,
         pose_hint: Optional[jax.Array] = None,
+        image_hint: Optional[jax.Array] = None,
         num_frames: int = 1,
     ) -> tuple[jax.Array, jax.Array]:
         """Fused classifier-free guidance: cond and uncond run as ONE batched
@@ -250,9 +269,9 @@ class MagicPoseModel(nn.Module):
                                 jnp.zeros((B,), jnp.float32)])
 
         pose_residuals = None
-        if self.cfg.has_pose and pose_hint is not None:
-            res = self.pose_control(x_noisy, pose_hint, timesteps, context,
-                                    dtype=dtype)
+        res = self.compute_control_residuals(
+            x_noisy, pose_hint, timesteps, context, image_hint=image_hint)
+        if res is not None:
             pose_residuals = tuple(
                 jnp.concatenate([r, jnp.zeros_like(r)], axis=0) for r in res
             )

@@ -83,6 +83,8 @@ class MagicPosePipeline:
             kw["reference_noisy"] = x
         if self.cfg.has_pose:
             kw["pose_hint"] = jnp.zeros((1, image_size, image_size, 3))
+        if self.cfg.has_image_control:
+            kw["image_hint"] = jnp.zeros((1, image_size, image_size, 3))
         params = {
             "model": self.model.init(r1, x, t, ctx, **kw),
             "vae": self.vae.init(
@@ -112,6 +114,10 @@ class MagicPosePipeline:
             kw["reference_noisy"] = x
         if self.cfg.has_pose:
             kw["pose_hint"] = jax.ShapeDtypeStruct(
+                (1, image_size, image_size, 3), jnp.float32
+            )
+        if self.cfg.has_image_control:
+            kw["image_hint"] = jax.ShapeDtypeStruct(
                 (1, image_size, image_size, 3), jnp.float32
             )
         img = jax.ShapeDtypeStruct((1, image_size, image_size, 3), jnp.float32)
@@ -189,10 +195,12 @@ class MagicPosePipeline:
         prompts: Optional[list[str]] = None,
         decode: bool = True,
         video: bool = False,
+        image_hints: "Optional[jax.Array]" = None,
     ) -> jax.Array:
         """pose_maps: (F, H, W, 3) in [0,1] or None; reference_image:
-        (1, H, W, 3) in [-1,1] or None. Returns (F, H, W, 3) images in
-        [-1, 1] (or latents if decode=False).
+        (1, H, W, 3) in [-1,1] or None; image_hints: (F, H, W, 3) in [0,1]
+        second-ControlNet hints (DUAL_CONTROL variant) or None. Returns
+        (F, H, W, 3) images in [-1, 1] (or latents if decode=False).
 
         Shared x_T across frames per the reference recipe
         (test_any_image_pose.py:201-202) when scfg.shared_noise.
@@ -228,9 +236,11 @@ class MagicPosePipeline:
                scfg.shared_noise, F, latent, pose_maps is not None, use_ref,
                decode, video, scfg.window, scfg.stride, scfg.fused_cfg,
                scfg.control_mode, scfg.cfg_interval, scfg.uncond_every,
-               scfg.pose_every, scfg.deepcache_every)
+               scfg.pose_every, scfg.deepcache_every,
+               image_hints is not None)
         if key not in self._jit_sample:
-            def run(params, ids, uids, ref_image, pose_maps, rng):
+            def run(params, ids, uids, ref_image, pose_maps, image_hints,
+                    rng):
                 ctx = self.clip.apply(params["clip"], ids).astype(jnp.float32)
                 uctx = self.clip.apply(params["clip"], uids).astype(jnp.float32)
                 ref_latent = None
@@ -256,6 +266,7 @@ class MagicPosePipeline:
                         self.model, params["model"], self.sched, ddim, scfg,
                         rng, x_T, ctx, uctx,
                         reference_latent=ref_latent, pose_hint=pose_maps,
+                        image_hint=image_hints,
                         parameterization=cfg.diffusion.parameterization,
                     )
                 else:
@@ -263,6 +274,7 @@ class MagicPosePipeline:
                         self.model, params["model"], self.sched, ddim, scfg,
                         rng, x_T, ctx, uctx,
                         reference_latent=ref_latent, pose_hint=pose_maps,
+                        image_hint=image_hints,
                         parameterization=cfg.diffusion.parameterization,
                     )
                 if decode:
@@ -286,5 +298,6 @@ class MagicPosePipeline:
             self._jit_sample[key] = jax.jit(run)
         return self._jit_sample[key](
             self.params, ids, uncond_ids,
-            reference_image if use_ref else None, pose_maps, rng,
+            reference_image if use_ref else None, pose_maps, image_hints,
+            rng,
         )

@@ -136,6 +136,7 @@ def ddim_sample(
     *,
     reference_latent: Optional[jax.Array] = None,
     pose_hint: Optional[jax.Array] = None,
+    image_hint: Optional[jax.Array] = None,
     parameterization: Parameterization = Parameterization.EPS,
     num_frames: int = 1,
 ) -> jax.Array:
@@ -143,16 +144,19 @@ def ddim_sample(
 
     model: a MagicPoseModel (nn.Module); params: its variables pytree.
     x_T: (B, h, w, 4); context/uncond_context: (1 or B, 77, 768);
-    reference_latent: (Br, h, w, 4) with Br ∈ {1, B}; pose_hint: (B, H, W, 3).
+    reference_latent: (Br, h, w, 4) with Br ∈ {1, B}; pose_hint: (B, H, W, 3);
+    image_hint: (B, H, W, 3) second-ControlNet hint (DUAL_CONTROL variant,
+    ref cldm.py:42-52) — residuals sum with the pose branch's, and the turbo
+    pose_every cache holds the summed tuple so reuse keeps both branches.
     """
     B = x_T.shape[0]
     S = ddim.num_steps
     use_cfg = scfg.cfg_scale != 1.0 and uncond_context is not None
     # opt-in turbo CFG (SampleConfig.cfg_interval / uncond_every): the
     # default path below stays byte-identical to the reference recipe
-    use_pose_reuse = (
-        scfg.pose_every > 1 and pose_hint is not None and model.cfg.has_pose
-    )
+    has_controls = (pose_hint is not None and model.cfg.has_pose) or (
+        image_hint is not None and model.cfg.has_image_control)
+    use_pose_reuse = scfg.pose_every > 1 and has_controls
     use_deepcache = scfg.deepcache_every > 1
     turbo = (
         not scfg.fused_cfg
@@ -206,7 +210,8 @@ def ddim_sample(
         if use_cfg and scfg.fused_cfg:
             eps_c, eps_u = model.apply(
                 params, x, t, ctx, uctx,
-                bank=bank, pose_hint=pose_hint, num_frames=num_frames,
+                bank=bank, pose_hint=pose_hint, image_hint=image_hint,
+                num_frames=num_frames,
                 method=model.cfg_fused_eps,
             )
             eps_c = to_eps(eps_c, x, t)
@@ -215,7 +220,8 @@ def ddim_sample(
         else:
             eps_c = model.apply(
                 params, x, t, ctx,
-                bank=bank, pose_hint=pose_hint, num_frames=num_frames,
+                bank=bank, pose_hint=pose_hint, image_hint=image_hint,
+                num_frames=num_frames,
             )
             eps_c = to_eps(eps_c, x, t)
             if use_cfg:
@@ -226,7 +232,8 @@ def ddim_sample(
                     # alone, not the controls
                     eps_u = model.apply(
                         params, x, t, uctx,
-                        bank=bank, pose_hint=pose_hint, num_frames=num_frames,
+                        bank=bank, pose_hint=pose_hint, image_hint=image_hint,
+                        num_frames=num_frames,
                     )
                 else:  # "controlnet_important": vanilla SD uncond
                     eps_u = model.apply(params, x, t, uctx, uc=True,
@@ -276,7 +283,8 @@ def ddim_sample(
         pose_shapes = jax.eval_shape(
             lambda: model.apply(
                 params, x_T, pose_hint, jnp.zeros((B,), jnp.int32), ctx,
-                method=model.compute_pose_residuals,
+                image_hint=image_hint,
+                method=model.compute_control_residuals,
             )
         )
         pose0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
@@ -324,8 +332,8 @@ def ddim_sample(
         if use_pose_reuse:
             def fresh_pose(_):
                 return model.apply(
-                    params, x, pose_hint, t, ctx,
-                    method=model.compute_pose_residuals,
+                    params, x, pose_hint, t, ctx, image_hint=image_hint,
+                    method=model.compute_control_residuals,
                 )
 
             pose_res = jax.lax.cond(
@@ -339,7 +347,8 @@ def ddim_sample(
             def fresh_cond(_):
                 e, d = model.apply(
                     params, x, t, ctx,
-                    bank=bank, pose_hint=pose_hint, num_frames=num_frames,
+                    bank=bank, pose_hint=pose_hint, image_hint=image_hint,
+                    num_frames=num_frames,
                     collect_deep=True, deep_level=scfg.deepcache_level,
                     **pose_kw,
                 )
@@ -348,7 +357,8 @@ def ddim_sample(
             def reuse_cond(_):
                 e = model.apply(
                     params, x, t, ctx,
-                    bank=bank, pose_hint=pose_hint, num_frames=num_frames,
+                    bank=bank, pose_hint=pose_hint, image_hint=image_hint,
+                    num_frames=num_frames,
                     deep_cache_in=deep_prev, deep_level=scfg.deepcache_level,
                     **pose_kw,
                 )
@@ -363,7 +373,8 @@ def ddim_sample(
             eps_c = to_eps(
                 model.apply(
                     params, x, t, ctx,
-                    bank=bank, pose_hint=pose_hint, num_frames=num_frames,
+                    bank=bank, pose_hint=pose_hint, image_hint=image_hint,
+                    num_frames=num_frames,
                     **pose_kw,
                 ),
                 x, t,
@@ -374,7 +385,8 @@ def ddim_sample(
                 if scfg.control_mode == "balance":
                     eu = model.apply(
                         params, x, t, uctx,
-                        bank=bank, pose_hint=pose_hint, num_frames=num_frames,
+                        bank=bank, pose_hint=pose_hint, image_hint=image_hint,
+                        num_frames=num_frames,
                         **pose_kw,
                     )
                     return to_eps(eu, x, t), deep_u_prev

@@ -52,6 +52,7 @@ def ddim_sample_video(
     *,
     reference_latent: Optional[jax.Array] = None,
     pose_hint: Optional[jax.Array] = None,
+    image_hint: Optional[jax.Array] = None,
     parameterization: Parameterization = Parameterization.EPS,
 ) -> jax.Array:
     """x_T: (F, h, w, 4) for a video of F frames; windows of scfg.window
@@ -109,8 +110,10 @@ def ddim_sample_video(
                 ref_ctx, method=model.compute_bank)
 
         hint_w = pose_hint[flat_idx] if pose_hint is not None else None
+        ihint_w = image_hint[flat_idx] if image_hint is not None else None
         eps_c = model.apply(params, xw, t, win_ctx, bank=bank,
-                            pose_hint=hint_w, num_frames=W)
+                            pose_hint=hint_w, image_hint=ihint_w,
+                            num_frames=W)
         eps_c = to_eps(eps_c, xw, t)
         if use_cfg:
             eps_u = model.apply(params, xw, t, win_uctx, uc=True, num_frames=W)

@@ -462,6 +462,91 @@ def test_turbo_uncond_deepcache_matches_python_oracle():
                                atol=2e-5, rtol=2e-5)
 
 
+def test_dual_control_sampling():
+    """DUAL_CONTROL end-to-end through the sampler (ref cldm.py:42-52
+    image_control + :909 ControlLDMVideo heads): the image-hint branch must
+    reach the scan, change the trajectory, and survive the turbo
+    control-residual cache (which holds the SUMMED pose+image tuple)."""
+    from magicdance_tpu.config import ControlNetConfig
+
+    cfg = tiny_cfg(variant=ModelVariant.DUAL_CONTROL)
+    cfg = ModelConfig(
+        variant=ModelVariant.DUAL_CONTROL,
+        unet=cfg.unet, pose_control=cfg.pose_control,
+        image_control=ControlNetConfig(
+            model_channels=32, channel_mult=(1, 2), num_res_blocks=1,
+            attention_resolutions=(1, 2), num_heads=2, context_dim=16),
+        vae=cfg.vae, clip=cfg.clip, latent_size=8, dtype="float32",
+    )
+    model = MagicPoseModel(cfg)
+    B = 2
+    x = jnp.zeros((B, 8, 8, 4))
+    t = jnp.zeros((B,), jnp.int32)
+    ctx0 = jnp.zeros((B, 5, 16))
+    pose = jnp.zeros((B, 64, 64, 3))
+    img = jnp.zeros((B, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx0,
+                        pose_hint=pose, image_hint=img)
+    params = randomize_zero_kernels(params)
+
+    sched = make_schedule(cfg.diffusion)
+    ddim = make_ddim_schedule(sched, 3)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (B, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 16))
+    pose = jax.random.uniform(jax.random.PRNGKey(3), (B, 64, 64, 3))
+    img = jax.random.uniform(jax.random.PRNGKey(4), (B, 64, 64, 3))
+    scfg = SampleConfig(steps=3, cfg_scale=7.0)
+
+    both = ddim_sample(model, params, sched, ddim, scfg,
+                       jax.random.PRNGKey(5), x_T, ctx, jnp.zeros_like(ctx),
+                       pose_hint=pose, image_hint=img)
+    both2 = ddim_sample(model, params, sched, ddim, scfg,
+                        jax.random.PRNGKey(5), x_T, ctx, jnp.zeros_like(ctx),
+                        pose_hint=pose, image_hint=img)
+    assert both.shape == (B, 8, 8, 4)
+    assert np.isfinite(np.asarray(both)).all()
+    np.testing.assert_array_equal(np.asarray(both), np.asarray(both2))
+    # the image branch actually steers the trajectory
+    pose_only = ddim_sample(model, params, sched, ddim, scfg,
+                            jax.random.PRNGKey(5), x_T, ctx,
+                            jnp.zeros_like(ctx), pose_hint=pose)
+    assert not np.allclose(np.asarray(both), np.asarray(pose_only), atol=1e-4)
+    # image-hint-only (no pose) exercises the res=None -> image path
+    img_only = ddim_sample(model, params, sched, ddim, scfg,
+                           jax.random.PRNGKey(5), x_T, ctx,
+                           jnp.zeros_like(ctx), image_hint=img)
+    assert np.isfinite(np.asarray(img_only)).all()
+    assert not np.allclose(np.asarray(img_only), np.asarray(both), atol=1e-4)
+
+    # turbo control-residual reuse: every-step refresh == exact; stride-2
+    # runs, is deterministic, differs from exact
+    t1 = ddim_sample(model, params, sched, ddim,
+                     SampleConfig(steps=3, cfg_scale=7.0,
+                                  cfg_interval=(0.0, 1.0), pose_every=1),
+                     jax.random.PRNGKey(5), x_T, ctx, jnp.zeros_like(ctx),
+                     pose_hint=pose, image_hint=img)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(both),
+                               atol=1e-5, rtol=1e-5)
+    s2 = SampleConfig(steps=3, cfg_scale=7.0, pose_every=2)
+    o1 = ddim_sample(model, params, sched, ddim, s2, jax.random.PRNGKey(5),
+                     x_T, ctx, jnp.zeros_like(ctx),
+                     pose_hint=pose, image_hint=img)
+    o2 = ddim_sample(model, params, sched, ddim, s2, jax.random.PRNGKey(5),
+                     x_T, ctx, jnp.zeros_like(ctx),
+                     pose_hint=pose, image_hint=img)
+    assert np.isfinite(np.asarray(o1)).all()
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    assert not np.allclose(np.asarray(o1), np.asarray(both), atol=1e-4)
+
+    # fused-CFG path threads the image hint too
+    fused = ddim_sample(model, params, sched, ddim,
+                        SampleConfig(steps=3, cfg_scale=7.0, fused_cfg=True),
+                        jax.random.PRNGKey(5), x_T, ctx, jnp.zeros_like(ctx),
+                        pose_hint=pose, image_hint=img)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(both),
+                               atol=3e-5, rtol=3e-5)
+
+
 def test_deepcache_level1():
     """Second DeepCache split point (deep_level=1): shallow pass over levels
     0-1 fed the deep feature of the SAME (x, t) reproduces the full forward;
