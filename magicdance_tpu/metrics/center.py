@@ -168,9 +168,9 @@ def get_all_eval_scores(
     # video Frechet metrics: each sequence folder is one video of sorted
     # frames (ref metric_center.py:692 'fvd': FVD-3DInception / I3D,
     # 'fid-vid': FVD-3DRN50 / Kinetics 3D-ResNet50)
-    for mtype, weights, notice in (
-        ("fvd", i3d_weights, "--i3d_weights"),
-        ("fid-vid", resnet3d_weights, "--resnet3d_weights"),
+    for mtype, weights, backbone, notice in (
+        ("fvd", i3d_weights, "i3d", "--i3d_weights"),
+        ("fid-vid", resnet3d_weights, "r3d", "--resnet3d_weights"),
     ):
         if mtype not in types:
             continue
@@ -182,7 +182,8 @@ def get_all_eval_scores(
 
         results[mtype] = frechet_video_distance(
             [os.path.join(s, gen_name) for s in seqs],
-            [os.path.join(s, gt_name) for s in seqs], weights)
+            [os.path.join(s, gt_name) for s in seqs], weights,
+            backbone=backbone)
 
     if "is" in types:
         if not inception_weights:

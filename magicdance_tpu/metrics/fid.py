@@ -53,117 +53,80 @@ def _load_extractor(weights_path: str):
     return ("torchvision", m)
 
 
-def folder_features(
-    folder: str, weights_path: str, batch: int = 32, size: int = 299
-) -> np.ndarray:
-    """Pool3/2048-dim features for every image in a folder.
+def _image_batches(folder: str, batch: int, size: int):
+    """Yield (B, size, size, 3) float32 batches in 0-255 (bicubic resize —
+    the clean-fid convention)."""
+    files = sorted(
+        f for f in os.listdir(folder)
+        if f.lower().endswith((".png", ".jpg", ".jpeg"))
+    )
+    for i in range(0, len(files), batch):
+        imgs = []
+        for f in files[i : i + batch]:
+            img = Image.open(os.path.join(folder, f)).convert("RGB")
+            imgs.append(np.asarray(img.resize((size, size), Image.BICUBIC),
+                                   np.float32))
+        yield np.stack(imgs)
 
-    A torchvision-layout state dict runs through the Flax InceptionV3 on the
-    default JAX backend (TPU when available); TorchScript files (clean-fid)
-    run via torch CPU."""
+
+def _folder_inception(folder, weights_path, batch, size, want):
+    """Shared driver for folder_features / folder_logits: Flax InceptionV3
+    for torchvision-layout state dicts (default JAX backend), torch CPU for
+    TorchScript (clean-fid) files. `want` is "pool" or "logits"."""
     try:
         from magicdance_tpu.metrics.inception_flax import FlaxInceptionExtractor
 
         extractor = FlaxInceptionExtractor(weights_path)
-        files = sorted(
-            f for f in os.listdir(folder)
-            if f.lower().endswith((".png", ".jpg", ".jpeg"))
-        )
-        feats = []
-        for i in range(0, len(files), batch):
-            imgs = []
-            for f in files[i : i + batch]:
-                img = Image.open(os.path.join(folder, f)).convert("RGB")
-                imgs.append(np.asarray(img.resize((size, size), Image.BICUBIC),
-                                       np.float32) / 255.0)
-            pool, _ = extractor(np.stack(imgs))
-            feats.append(pool)
-        return (np.concatenate(feats) if feats
-                else np.zeros((0, 2048), np.float32))
+        out = []
+        for x in _image_batches(folder, batch, size):
+            pool, logits = extractor(x / 255.0)
+            out.append(pool if want == "pool" else logits)
+        dim = 2048 if want == "pool" else 1000
+        return np.concatenate(out) if out else np.zeros((0, dim), np.float32)
     except (KeyError, ValueError):
         pass  # not a torchvision-layout state dict -> torch path
 
     import torch
 
     kind, model = _load_extractor(weights_path)
-    feats = []
-    files = sorted(
-        f for f in os.listdir(folder)
-        if f.lower().endswith((".png", ".jpg", ".jpeg"))
-    )
+    if want == "logits" and kind != "torchscript":
+        # the torchvision fallback strips fc for features — pre-fc
+        # activations are NOT logits; refuse rather than mis-score
+        raise ValueError(
+            "inception score needs class logits: supply the clean-fid "
+            "TorchScript InceptionV3 or a torchvision-layout state dict "
+            "(Flax path)")
+    out = []
     with torch.no_grad():
-        for i in range(0, len(files), batch):
-            imgs = []
-            for f in files[i : i + batch]:
-                img = Image.open(os.path.join(folder, f)).convert("RGB")
-                img = img.resize((size, size), Image.BICUBIC)
-                imgs.append(np.asarray(img, np.float32))
-            x = torch.from_numpy(np.stack(imgs)).permute(0, 3, 1, 2)
+        for x in _image_batches(folder, batch, size):
+            t = torch.from_numpy(x).permute(0, 3, 1, 2)
             if kind == "torchscript":
-                # clean-fid torchscript takes uint8-range tensors
-                out = model(x, return_features=True)
+                # clean-fid script: uint8-range input; return_features=True
+                # -> pool3, without the flag -> logits
+                y = (model(t, return_features=True) if want == "pool"
+                     else model(t))
             else:
-                x = x / 127.5 - 1.0
-                out = model(x)
-                if isinstance(out, tuple):
-                    out = out[0]
-            feats.append(out.cpu().numpy().reshape(len(imgs), -1))
-    return np.concatenate(feats) if feats else np.zeros((0, 2048), np.float32)
+                y = model(t / 127.5 - 1.0)
+                if isinstance(y, tuple):
+                    y = y[0]
+            out.append(y.cpu().numpy().reshape(len(x), -1))
+    dim = 2048 if want == "pool" else 1000
+    return np.concatenate(out) if out else np.zeros((0, dim), np.float32)
+
+
+def folder_features(
+    folder: str, weights_path: str, batch: int = 32, size: int = 299
+) -> np.ndarray:
+    """Pool3/2048-dim features for every image in a folder."""
+    return _folder_inception(folder, weights_path, batch, size, "pool")
 
 
 def folder_logits(
     folder: str, weights_path: str, batch: int = 32, size: int = 299
 ) -> np.ndarray:
     """Class logits (N, 1000) for every image in a folder — the inception
-    score input (ref tool/metrics/utils.py:517-531 'clean_InceptionScore').
-
-    Torchvision-layout state dicts run through the Flax InceptionV3 (which
-    returns (pool, logits)); TorchScript clean-fid files run on torch CPU
-    without `return_features` so the script returns logits."""
-    files = sorted(
-        f for f in os.listdir(folder)
-        if f.lower().endswith((".png", ".jpg", ".jpeg"))
-    )
-    try:
-        from magicdance_tpu.metrics.inception_flax import FlaxInceptionExtractor
-
-        extractor = FlaxInceptionExtractor(weights_path)
-        out = []
-        for i in range(0, len(files), batch):
-            imgs = []
-            for f in files[i : i + batch]:
-                img = Image.open(os.path.join(folder, f)).convert("RGB")
-                imgs.append(np.asarray(img.resize((size, size), Image.BICUBIC),
-                                       np.float32) / 255.0)
-            _, logits = extractor(np.stack(imgs))
-            out.append(logits)
-        return (np.concatenate(out) if out
-                else np.zeros((0, 1000), np.float32))
-    except (KeyError, ValueError):
-        pass  # not a torchvision-layout state dict -> torch path
-
-    import torch
-
-    kind, model = _load_extractor(weights_path)
-    out = []
-    with torch.no_grad():
-        for i in range(0, len(files), batch):
-            imgs = []
-            for f in files[i : i + batch]:
-                img = Image.open(os.path.join(folder, f)).convert("RGB")
-                imgs.append(np.asarray(img.resize((size, size), Image.BICUBIC),
-                                       np.float32))
-            x = torch.from_numpy(np.stack(imgs)).permute(0, 3, 1, 2)
-            if kind != "torchscript":
-                # the torchvision fallback strips fc for features — pre-fc
-                # activations are NOT logits; refuse rather than mis-score
-                raise ValueError(
-                    "inception score needs class logits: supply the clean-fid"
-                    " TorchScript InceptionV3 or a torchvision-layout state "
-                    "dict (Flax path)")
-            y = model(x)  # clean-fid script: logits without the flag
-            out.append(y.cpu().numpy().reshape(len(imgs), -1))
-    return np.concatenate(out) if out else np.zeros((0, 1000), np.float32)
+    score input (ref tool/metrics/utils.py:517-531 'clean_InceptionScore')."""
+    return _folder_inception(folder, weights_path, batch, size, "logits")
 
 
 def fid_between_folders(

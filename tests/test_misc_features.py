@@ -37,16 +37,21 @@ def test_text_filter():
     assert not g("a person dancing")
 
 
-def test_fvd_clip_resample():
-    from magicdance_tpu.metrics.fvd import _resample_clip
+def test_fvd_segment_clips():
+    """FID-VID clip handling (ref utils.py:294-331): contiguous fixed-length
+    chunks, tail padded by repeating the last frame."""
+    from magicdance_tpu.metrics.fvd import segment_clips
 
     v = np.arange(10)[:, None, None, None] * np.ones((1, 2, 2, 3))
-    out = _resample_clip(v, 4)
-    assert out.shape == (4, 2, 2, 3)
-    np.testing.assert_array_equal(out[:, 0, 0, 0], [0, 3, 6, 9])
-    # shorter than target: repeats
-    out2 = _resample_clip(v[:2], 4)
-    assert out2.shape == (4, 2, 2, 3)
+    clips = segment_clips(v, 4)
+    assert len(clips) == 3 and all(c.shape == (4, 2, 2, 3) for c in clips)
+    np.testing.assert_array_equal(clips[0][:, 0, 0, 0], [0, 1, 2, 3])
+    # tail clip: frames 8,9 then last-frame padding
+    np.testing.assert_array_equal(clips[2][:, 0, 0, 0], [8, 9, 9, 9])
+    # shorter than one clip: one padded clip
+    short = segment_clips(v[:2], 4)
+    assert len(short) == 1
+    np.testing.assert_array_equal(short[0][:, 0, 0, 0], [0, 1, 1, 1])
 
 
 def test_profiling_utils():
