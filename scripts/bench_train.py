@@ -50,7 +50,7 @@ def main():
     vae = AutoencoderKL(model_cfg.vae)
     clip = CLIPTextEncoder(model_cfg.clip)
 
-    for bs in BS_LIST:
+    for bs_i, bs in enumerate(BS_LIST):
         cfg = TrainConfig(model=model_cfg, freeze=REGIME,
                           batch_size_per_device=bs, image_size=SIZE)
         trainer = Trainer(cfg, model, vae, clip)
@@ -58,7 +58,7 @@ def main():
                                      params["clip"])
         # the source f32 tree (~10 GB at full scale) must not stay alive on
         # device next to the train state (frozen copies are bf16)
-        if bs == BS_LIST[-1]:
+        if bs_i == len(BS_LIST) - 1:
             pipe.params = None
             params = None
             import gc
