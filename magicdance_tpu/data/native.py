@@ -118,7 +118,9 @@ def rrc_params(seed: int, h: int, w: int,
 
     s, u = uniform(s)
     area_frac = scale[0] + (scale[1] - scale[0]) * u
-    side = int(round(np.sqrt(area_frac * h * w)))
+    # std::lround semantics (round half away from zero) — Python's round()
+    # rounds half to even and would diverge at exact .5 boundaries
+    side = int(np.floor(np.sqrt(area_frac * h * w) + 0.5))
     side = max(1, min(side, min(h, w)))
     s, u = uniform(s)
     top = min(int(u * (h - side + 1)), h - side)

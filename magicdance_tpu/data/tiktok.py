@@ -131,6 +131,17 @@ class TikTokPairDataset:
         if use_native is None:
             use_native = native_available()
         rng = np.random.RandomState(self.seed if seed is None else seed)
+        if use_native and self.use_pose and not self._pose_dims_match(rng):
+            # the native path aligns the pose crop with the target crop by
+            # sharing the seed, which only holds when both images have the
+            # same dimensions — otherwise use the Python path's explicit
+            # shared crop params
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "pose maps are not frame-sized; native batch path would "
+                "misalign crops — falling back to the Python loader")
+            use_native = False
         if use_native:
             yield from self._native_batches(batch_size, rng)
             return
@@ -143,6 +154,22 @@ class TikTokPairDataset:
             yield {
                 k: np.stack([it[k] for it in items]) for k in items[0]
             }
+
+    def _pose_dims_match(self, rng: np.random.RandomState) -> bool:
+        """The shared-seed crop trick requires pose map dims == frame dims
+        (rrc_params derives the crop from the image dims). Probe one pair
+        (PIL reads only the header)."""
+        from PIL import Image
+
+        try:
+            video, frame, _ = self._draw_pair(rng)
+            with Image.open(os.path.join(self.root, self.split, video,
+                                         frame)) as a, \
+                 Image.open(os.path.join(self.root, self.pose_split, video,
+                                         frame)) as b:
+                return a.size == b.size
+        except Exception:
+            return True  # missing files surface later with a clearer error
 
     def _native_batches(
         self, batch_size: int, rng: np.random.RandomState
@@ -181,6 +208,15 @@ class TikTokPairDataset:
                     picks[k] = self._draw_pair(rng)
                     seeds_t[k] = int(rng.randint(1 << 31))
                     seeds_r[k] = int(rng.randint(1 << 31))
+            if redo:
+                # the Python path never yields monochrome frames; if 10
+                # resample rounds could not clear the batch, say so rather
+                # than silently training on degenerate pairs
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "native loader: %d monochrome frame(s) survived 10 "
+                    "resample rounds and were yielded", len(redo))
             out = {"image": targets, "reference": refs}
             if self.use_pose:
                 pp = [os.path.join(self.root, self.pose_split, v, fi)
