@@ -40,6 +40,7 @@ def main(argv=None) -> None:
     p.add_argument("--pose_every", type=int, default=1)
     p.add_argument("--deepcache_every", type=int, default=1)
     p.add_argument("--deepcache_level", type=int, default=0)
+    p.add_argument("--bank_every", type=int, default=1)
     args = p.parse_args(argv)
 
     import jax
@@ -80,7 +81,8 @@ def main(argv=None) -> None:
                         uncond_every=args.uncond_every,
                         pose_every=args.pose_every,
                         deepcache_every=args.deepcache_every,
-                        deepcache_level=args.deepcache_level)
+                        deepcache_level=args.deepcache_level,
+                        bank_every=args.bank_every)
     ds = TikTokEvalDataset(root=args.data, image_size=args.size,
                            every_nth=args.every_nth)
     rng = jax.random.PRNGKey(args.seed)

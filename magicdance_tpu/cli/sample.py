@@ -74,6 +74,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="refresh the cond UNet's deep levels every k-th "
                         "step; run only the level-0 encoder/decoder in "
                         "between (DeepCache)")
+    p.add_argument("--bank_every", type=int, default=1,
+                   help="refresh the appearance bank (full-UNet-copy write "
+                        "pass) every k-th step, reuse the cached bank in "
+                        "between; biggest win at small frame batches")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler (xplane) trace of the "
                         "sampling run into DIR (TensorBoard-loadable)")
@@ -164,6 +168,7 @@ def main(argv=None) -> None:
                         uncond_every=args.uncond_every,
                         pose_every=args.pose_every,
                         deepcache_every=args.deepcache_every,
+                        bank_every=args.bank_every,
                         deepcache_level=args.deepcache_level)
     os.makedirs(args.output, exist_ok=True)
     rng = jax.random.PRNGKey(args.seed)

@@ -241,6 +241,15 @@ class SampleConfig:
     # vary slowly along the trajectory). Combines with pose_every (reuse
     # steps then also skip the pose branch refresh).
     deepcache_every: int = 1
+    # bank_every=k (k>1): refresh the appearance bank (the full-UNet-copy
+    # write pass, ref cldm.py:164-497) every k-th step and reuse the cached
+    # bank tuple in between. With wonoise=True (the reference inference
+    # recipe) the write input is the SAME reference latent every step — only
+    # the timestep embedding varies — so the bank drifts slowly in t and
+    # reuse is a small approximation. Matters most at small frame batches,
+    # where the B=1 write is a full third of the per-step UNet forwards
+    # (at B=32 it is ~1-2 % — amortized across the batch).
+    bank_every: int = 1
 
 
 class FreezeRegime(str, enum.Enum):

@@ -228,7 +228,8 @@ class MagicPosePipeline:
         ddim = make_ddim_schedule(self.sched, scfg.steps, eta=scfg.eta)
         video = video and cfg.has_temporal
         if video and (scfg.cfg_interval is not None or scfg.uncond_every > 1
-                      or scfg.pose_every > 1 or scfg.deepcache_every > 1):
+                      or scfg.pose_every > 1 or scfg.deepcache_every > 1
+                      or scfg.bank_every > 1):
             print("[pipeline] turbo flags are not implemented for the "
                   "overlap-window video sampler; running exact", flush=True)
         decode_chunk = 8
@@ -236,8 +237,8 @@ class MagicPosePipeline:
                scfg.shared_noise, F, latent, pose_maps is not None, use_ref,
                decode, video, scfg.window, scfg.stride, scfg.fused_cfg,
                scfg.control_mode, scfg.cfg_interval, scfg.uncond_every,
-               scfg.pose_every, scfg.deepcache_every,
-               image_hints is not None)
+               scfg.pose_every, scfg.deepcache_every, scfg.deepcache_level,
+               scfg.bank_every, image_hints is not None)
         if key not in self._jit_sample:
             def run(params, ids, uids, ref_image, pose_maps, image_hints,
                     rng):

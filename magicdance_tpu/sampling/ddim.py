@@ -67,6 +67,8 @@ def build_turbo_schedules(
                  strides every — fresh-uncond step, leaving the shallow pass
                  reading the all-zeros cache init. The ordinal schedule
                  guarantees the FIRST fresh-uncond step is always a full pass.
+      bank_refresh — the appearance bank (full-UNet-copy write pass) is
+                 recomputed (every ``bank_every``-th executed step).
     """
     import numpy as np
 
@@ -103,7 +105,12 @@ def build_turbo_schedules(
             if n_refresh % u_stride == 0:
                 udeep_refresh[step_exec] = True
             n_refresh += 1
-    return active, refresh, pose_refresh, deep_refresh, udeep_refresh
+    bank_refresh = np.zeros(S, dtype=bool)
+    for i_exec in range(S):
+        if i_exec % max(scfg.bank_every, 1) == 0:
+            bank_refresh[S - 1 - i_exec] = True
+    return (active, refresh, pose_refresh, deep_refresh, udeep_refresh,
+            bank_refresh)
 
 
 def ddim_step(
@@ -158,10 +165,13 @@ def ddim_sample(
         image_hint is not None and model.cfg.has_image_control)
     use_pose_reuse = scfg.pose_every > 1 and has_controls
     use_deepcache = scfg.deepcache_every > 1
+    has_appearance = reference_latent is not None and model.cfg.has_appearance
+    use_bank_reuse = scfg.bank_every > 1 and has_appearance
     turbo = (
         not scfg.fused_cfg
         and (use_pose_reuse
              or use_deepcache
+             or use_bank_reuse
              or (use_cfg and (scfg.cfg_interval is not None
                               or scfg.uncond_every > 1)))
     )
@@ -174,7 +184,6 @@ def ddim_sample(
     ctx = tile_ctx(context)
     uctx = tile_ctx(uncond_context)
 
-    has_appearance = reference_latent is not None and model.cfg.has_appearance
     ref_ctx = context[:1] if context is not None else None
 
     def to_eps(model_out, x, t):
@@ -265,12 +274,13 @@ def ddim_sample(
     # the compiled program gates the uncond forward with lax.cond — the
     # skipped branch costs nothing at runtime on TPU.
     (active_np, refresh_np, pose_refresh_np, deep_refresh_np,
-     udeep_refresh_np) = build_turbo_schedules(
+     udeep_refresh_np, bank_refresh_np) = build_turbo_schedules(
         scfg, sched.num_timesteps, ddim.timesteps, use_cfg)
     active_arr = jnp.asarray(active_np)
     refresh_arr = jnp.asarray(refresh_np)
     pose_refresh_arr = jnp.asarray(pose_refresh_np)
     deep_refresh_arr = jnp.asarray(deep_refresh_np)
+    bank_refresh_arr = jnp.asarray(bank_refresh_np)
     # uncond DeepCache (vanilla-SD pass gets its own deep cache): full passes
     # scheduled over refresh-step ordinals so the first fresh-uncond step
     # always populates the cache — see build_turbo_schedules.
@@ -304,8 +314,22 @@ def ddim_sample(
         deep0 = ()
     deep_u0 = deep0 if use_uncond_deepcache else ()
 
+    if use_bank_reuse:
+        bank_shapes = jax.eval_shape(
+            lambda: model.apply(
+                params, reference_latent,
+                jnp.zeros((reference_latent.shape[0],), jnp.int32), ref_ctx,
+                method=model.compute_bank,
+            )
+        )
+        bank0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                             bank_shapes)
+    else:
+        bank0 = ()
+
     def body_turbo(carry, i):
-        x, step_rng, eps_u_prev, pose_prev, deep_prev, deep_u_prev = carry
+        (x, step_rng, eps_u_prev, pose_prev, deep_prev, deep_u_prev,
+         bank_prev) = carry
         step = S - 1 - i
         t_scalar = ddim.timesteps[step]
         t = jnp.full((B,), t_scalar, dtype=jnp.int32)
@@ -313,21 +337,34 @@ def ddim_sample(
 
         bank = None
         if has_appearance:
-            if scfg.wonoise:
-                ref_noisy = reference_latent
-            else:
-                ref_noise = jax.random.normal(
-                    rng_ref, reference_latent.shape, dtype=reference_latent.dtype
+            def fresh_bank(_):
+                if scfg.wonoise:
+                    ref_noisy = reference_latent
+                else:
+                    ref_noise = jax.random.normal(
+                        rng_ref, reference_latent.shape,
+                        dtype=reference_latent.dtype,
+                    )
+                    t_ref = jnp.full((reference_latent.shape[0],), t_scalar,
+                                     jnp.int32)
+                    ref_noisy = q_sample(sched, reference_latent, t_ref,
+                                         ref_noise)
+                return model.apply(
+                    params,
+                    ref_noisy,
+                    jnp.full((reference_latent.shape[0],), t_scalar,
+                             jnp.int32),
+                    ref_ctx,
+                    method=model.compute_bank,
                 )
-                t_ref = jnp.full((reference_latent.shape[0],), t_scalar, jnp.int32)
-                ref_noisy = q_sample(sched, reference_latent, t_ref, ref_noise)
-            bank = model.apply(
-                params,
-                ref_noisy,
-                jnp.full((reference_latent.shape[0],), t_scalar, jnp.int32),
-                ref_ctx,
-                method=model.compute_bank,
-            )
+
+            if use_bank_reuse:
+                bank = jax.lax.cond(
+                    bank_refresh_arr[step], fresh_bank,
+                    lambda _: bank_prev, None,
+                )
+            else:
+                bank = fresh_bank(None)
 
         if use_pose_reuse:
             def fresh_pose(_):
@@ -437,8 +474,10 @@ def ddim_sample(
             ddim.sqrt_one_minus_alphas[step], ddim.sigmas[step],
             noise,
         )
-        return (x_prev, step_rng, eps_u, pose_res, deep, deep_u), None
+        bank_carry = bank if use_bank_reuse else ()
+        return (x_prev, step_rng, eps_u, pose_res, deep, deep_u,
+                bank_carry), None
 
-    carry0 = (x_T, rng, jnp.zeros_like(x_T), pose0, deep0, deep_u0)
-    (x0, _, _, _, _, _), _ = jax.lax.scan(body_turbo, carry0, jnp.arange(S))
+    carry0 = (x_T, rng, jnp.zeros_like(x_T), pose0, deep0, deep_u0, bank0)
+    (x0, *_), _ = jax.lax.scan(body_turbo, carry0, jnp.arange(S))
     return x0

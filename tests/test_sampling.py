@@ -302,6 +302,60 @@ def test_turbo_pose_reuse():
     assert np.isfinite(np.asarray(o3)).all()
 
 
+def test_turbo_bank_reuse():
+    """bank_every>1: the appearance bank refreshes on a stride and is
+    reused in between; bank_every=1 inside the turbo scan must stay exact;
+    combined with every other turbo flag stays finite."""
+    cfg = tiny_cfg()
+    model, params = init_model(cfg, B=2)
+    sched = make_schedule(cfg.diffusion)
+    ddim = make_ddim_schedule(sched, 4)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 16))
+    ref = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 4))
+    hint = jax.random.uniform(jax.random.PRNGKey(4), (2, 64, 64, 3))
+    exact = ddim_sample(model, params, sched, ddim,
+                        SampleConfig(steps=4, cfg_scale=7.0),
+                        jax.random.PRNGKey(5), x_T, ctx, jnp.zeros_like(ctx),
+                        reference_latent=ref, pose_hint=hint)
+    # turbo scan with every bank step refreshed == exact
+    t1 = ddim_sample(model, params, sched, ddim,
+                     SampleConfig(steps=4, cfg_scale=7.0,
+                                  cfg_interval=(0.0, 1.0), bank_every=1),
+                     jax.random.PRNGKey(5), x_T, ctx, jnp.zeros_like(ctx),
+                     reference_latent=ref, pose_hint=hint)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(exact),
+                               atol=1e-5, rtol=1e-5)
+    # wonoise=True makes the bank t-only dependent; with a 4-step schedule
+    # stride 2 reuses each bank once
+    scfg = SampleConfig(steps=4, cfg_scale=7.0, bank_every=2)
+    o1 = ddim_sample(model, params, sched, ddim, scfg, jax.random.PRNGKey(5),
+                     x_T, ctx, jnp.zeros_like(ctx),
+                     reference_latent=ref, pose_hint=hint)
+    o2 = ddim_sample(model, params, sched, ddim, scfg, jax.random.PRNGKey(5),
+                     x_T, ctx, jnp.zeros_like(ctx),
+                     reference_latent=ref, pose_hint=hint)
+    assert np.isfinite(np.asarray(o1)).all()
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    assert not np.allclose(np.asarray(o1), np.asarray(exact), atol=1e-4)
+    # wonoise=False exercises the per-step renoising inside the gated branch
+    o3 = ddim_sample(model, params, sched, ddim,
+                     SampleConfig(steps=4, cfg_scale=7.0, bank_every=2,
+                                  wonoise=False),
+                     jax.random.PRNGKey(5), x_T, ctx, jnp.zeros_like(ctx),
+                     reference_latent=ref, pose_hint=hint)
+    assert np.isfinite(np.asarray(o3)).all()
+    # stacked with every other turbo flag
+    o4 = ddim_sample(model, params, sched, ddim,
+                     SampleConfig(steps=4, cfg_scale=7.0, bank_every=2,
+                                  pose_every=2, uncond_every=2,
+                                  deepcache_every=2,
+                                  cfg_interval=(0.1, 0.95)),
+                     jax.random.PRNGKey(5), x_T, ctx, jnp.zeros_like(ctx),
+                     reference_latent=ref, pose_hint=hint)
+    assert np.isfinite(np.asarray(o4)).all()
+
+
 def test_deepcache():
     """DeepCache: shallow pass fed the deep feature of the SAME (x,t)
     reproduces the full forward exactly; the sampler's deepcache_every
@@ -369,7 +423,7 @@ def test_turbo_schedule_uncond_deepcache_alignment():
     # the pathological case: frac(876)=0.876 > hi=0.85 -> inactive prefix 1
     scfg = SampleConfig(steps=S, cfg_scale=7.0, cfg_interval=(0.0, 0.85),
                         uncond_every=2, deepcache_every=2)
-    active, refresh, _, deep, udeep = build_turbo_schedules(
+    active, refresh, _, deep, udeep, _ = build_turbo_schedules(
         scfg, T, timesteps, use_cfg=True)
     assert not active[S - 1]          # first executed step is CFG-inactive
     assert not (refresh & deep).any()  # old formula => empty schedule (bug)
@@ -386,7 +440,7 @@ def test_turbo_schedule_uncond_deepcache_alignment():
                 scfg = SampleConfig(steps=S, cfg_scale=7.0,
                                     cfg_interval=(lo, hi),
                                     uncond_every=ue, deepcache_every=de)
-                _, refresh, _, _, udeep = build_turbo_schedules(
+                _, refresh, _, _, udeep, _ = build_turbo_schedules(
                     scfg, T, timesteps, use_cfg=True)
                 # udeep fires only on refresh steps
                 assert not (udeep & ~refresh).any()
@@ -425,7 +479,7 @@ def test_turbo_uncond_deepcache_matches_python_oracle():
     out = ddim_sample(model, params, sched, ddim, scfg, jax.random.PRNGKey(5),
                       x_T, ctx, uctx, reference_latent=ref, pose_hint=hint)
 
-    active, refresh, _, deep_refresh, udeep = build_turbo_schedules(
+    active, refresh, _, deep_refresh, udeep, _ = build_turbo_schedules(
         scfg, sched.num_timesteps, np.asarray(ddim.timesteps), use_cfg=True)
     B = 2
     ctx_b = jnp.broadcast_to(ctx, (B,) + ctx.shape[1:])
