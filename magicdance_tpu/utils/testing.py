@@ -25,3 +25,32 @@ def randomize_zero_kernels(params, scale: float = 0.05, seed: int = 0):
         return p
 
     return jax.tree.map(fill, params)
+
+
+def weight_deviation(params_a, params_b, keyword: str = "") -> float:
+    """Mean per-leaf squared L2 distance between two parameter trees,
+    restricted to leaves whose '/'-joined path contains `keyword`.
+
+    The training-drift probe from the reference (`estimate_deviation` /
+    `_calc_dist`, ref train_tiktok.py:532-544): e.g. how far the
+    appearance branch moved from the frozen UNet it was copied from
+    (keyword='attn1'), or a trained tree vs its init. Leaves present in
+    only one tree are ignored (the reference intersects keys the same
+    way)."""
+    flat_a = {
+        "/".join(str(getattr(k, "key", k)) for k in path): leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(params_a)[0]
+    }
+    flat_b = {
+        "/".join(str(getattr(k, "key", k)) for k in path): leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(params_b)[0]
+    }
+    keys = [k for k in flat_a if keyword in k and k in flat_b]
+    if not keys:
+        return 0.0
+    total = 0.0
+    for k in keys:
+        a = jnp.asarray(flat_a[k], jnp.float32)
+        b = jnp.asarray(flat_b[k], jnp.float32)
+        total += float(jnp.sum((a - b) ** 2))
+    return total / len(keys)

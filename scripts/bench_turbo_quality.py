@@ -49,7 +49,20 @@ variants = {
     "all_stride3": SampleConfig(steps=STEPS, cfg_scale=7.0, deepcache_every=3,
                                 pose_every=3, uncond_every=2,
                                 cfg_interval=(0.15, 0.85)),
+    "bank3": SampleConfig(steps=STEPS, cfg_scale=7.0, bank_every=3),
+    "all_stride3_bank3": SampleConfig(steps=STEPS, cfg_scale=7.0,
+                                      deepcache_every=3, pose_every=3,
+                                      uncond_every=2,
+                                      cfg_interval=(0.15, 0.85),
+                                      bank_every=3),
 }
+# optional subset: VARIANTS=exact,bank3,... ("exact" always runs first for
+# the comparison baseline)
+_sel = os.environ.get("VARIANTS")
+if _sel:
+    keep = [v.strip() for v in _sel.split(",")]
+    variants = {k: variants[k] for k in ["exact"] + [v for v in keep
+                                                     if v != "exact"]}
 
 exact_u8 = None
 for name, scfg in variants.items():

@@ -167,3 +167,25 @@ def test_dual_controlnet_composition():
     out_manual = model.apply(params, x, t, ctx, pose_residuals=summed)
     np.testing.assert_allclose(np.asarray(out_both), np.asarray(out_manual),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_weight_deviation():
+    """weight_deviation mirrors the reference's training-drift probe
+    (_calc_dist, ref train_tiktok.py:532-544): mean per-leaf squared L2
+    over keyword-filtered intersecting keys."""
+    from magicdance_tpu.utils.testing import weight_deviation
+
+    a = {"unet": {"attn1": {"kernel": np.ones((2, 2), np.float32)},
+                  "conv": {"kernel": np.zeros((2, 2), np.float32)}}}
+    b = {"unet": {"attn1": {"kernel": np.zeros((2, 2), np.float32)},
+                  "conv": {"kernel": np.zeros((2, 2), np.float32)}},
+         "extra": {"kernel": np.ones((1,), np.float32)}}
+    # all keys: attn1 contributes 4.0, conv 0.0 -> mean 2.0
+    assert weight_deviation(a, b) == 2.0
+    # keyword filter
+    assert weight_deviation(a, b, "attn1") == 4.0
+    assert weight_deviation(a, b, "conv") == 0.0
+    # identical trees
+    assert weight_deviation(a, a) == 0.0
+    # no intersecting keys
+    assert weight_deviation(a, b, "nope") == 0.0
