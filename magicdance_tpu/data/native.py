@@ -15,13 +15,14 @@ from typing import Optional
 import numpy as np
 
 _LIB = None
+_HAS_RRC = False
 _TRIED = False
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _LIB, _TRIED
+    global _LIB, _HAS_RRC, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
@@ -42,6 +43,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_float, ctypes.c_float,
             ctypes.POINTER(ctypes.c_float),
         ]
+        _LIB = lib
+    except (OSError, AttributeError):
+        _LIB = None
+        return None
+    try:
+        # bound separately: a prebuilt .so from before this entry point
+        # (make unavailable to rebuild) must not disable the basic loader
         lib.md_batch_load_rrc.restype = ctypes.c_int
         lib.md_batch_load_rrc.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
@@ -49,14 +57,16 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_float, ctypes.c_float,
             ctypes.POINTER(ctypes.c_float),
         ]
-        _LIB = lib
-    except (OSError, AttributeError):
-        _LIB = None
+        _HAS_RRC = True
+    except AttributeError:
+        _HAS_RRC = False
     return _LIB
 
 
 def native_available() -> bool:
-    return _load() is not None
+    """True when the seeded-RRC training path is native (the full feature
+    set); the basic batch loader may still be native when this is False."""
+    return _load() is not None and _HAS_RRC
 
 
 def batch_load_images(
@@ -117,7 +127,13 @@ def rrc_params(seed: int, h: int, w: int,
         return st, (z >> 40) / 16777216.0
 
     s, u = uniform(s)
-    area_frac = scale[0] + (scale[1] - scale[0]) * u
+    # the C++ receives the bounds as c_float: truncate to float32 and form
+    # the difference in float32 exactly as `scale_lo + (scale_hi - scale_lo)
+    # * u` does, else area_frac differs by ~1e-8 and side can differ by 1
+    # when sqrt lands near an x.5 rounding boundary
+    lo = float(np.float32(scale[0]))
+    diff = float(np.float32(np.float32(scale[1]) - np.float32(scale[0])))
+    area_frac = lo + diff * u
     # std::lround semantics (round half away from zero) — Python's round()
     # rounds half to even and would diverge at exact .5 boundaries
     side = int(np.floor(np.sqrt(area_frac * h * w) + 0.5))
@@ -146,7 +162,7 @@ def batch_load_images_rrc(
     n = len(paths)
     assert len(seeds) == n
     out = np.empty((n, size, size, 3), np.float32)
-    if lib is not None:
+    if lib is not None and _HAS_RRC:
         arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
         seed_arr = (ctypes.c_longlong * n)(*[int(s) & 0x7FFFFFFFFFFFFFFF
                                              for s in seeds])
@@ -159,7 +175,8 @@ def batch_load_images_rrc(
         if failures:
             raise IOError(f"native loader failed on {failures}/{n} images")
         return out
-    # PIL fallback (same crop params via the replica RNG; bicubic resize)
+    # PIL fallback: same crop params via the replica RNG; bilinear resize to
+    # match the native core's resize_crop_bilinear as closely as PIL can
     from PIL import Image
 
     from magicdance_tpu.data.transforms import resize
@@ -170,5 +187,6 @@ def batch_load_images_rrc(
         top, left, side = rrc_params(int(seeds[i]) & 0x7FFFFFFFFFFFFFFF,
                                      h, w, scale_range)
         crop = img[top:top + side, left:left + side]
-        out[i] = resize(crop, size).astype(np.float32) * scale + offset
+        out[i] = (resize(crop, size, method=Image.BILINEAR).astype(np.float32)
+                  * scale + offset)
     return out

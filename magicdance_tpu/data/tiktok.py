@@ -125,13 +125,21 @@ class TikTokPairDataset:
         available (default auto-detect), the whole batch is decoded, cropped
         and normalized by `md_batch_load_rrc` — multi-threaded, GIL-free —
         with the same shared-crop-per-sample semantics as the Python path
-        (target and pose map share a crop seed)."""
+        (target and pose map share a crop seed).
+
+        Known semantic difference: the native path applies the monochrome
+        filter to the decoded CROP (the core returns only the crop), while
+        the Python path (and the reference, tiktok_video_arnold_copy.py:
+        158-171) checks the full frame before cropping. At the default
+        crop_scale (0.9, 1.0) the crop covers ≥90 % of the frame, so the
+        filters agree except on frames whose uniform region dominates a
+        near-full crop — a stricter, not looser, filter."""
         from magicdance_tpu.data.native import native_available
 
         if use_native is None:
             use_native = native_available()
         rng = np.random.RandomState(self.seed if seed is None else seed)
-        if use_native and self.use_pose and not self._pose_dims_match(rng):
+        if use_native and self.use_pose and not self._pose_dims_match():
             # the native path aligns the pose crop with the target crop by
             # sharing the seed, which only holds when both images have the
             # same dimensions — otherwise use the Python path's explicit
@@ -155,21 +163,25 @@ class TikTokPairDataset:
                 k: np.stack([it[k] for it in items]) for k in items[0]
             }
 
-    def _pose_dims_match(self, rng: np.random.RandomState) -> bool:
+    def _pose_dims_match(self) -> bool:
         """The shared-seed crop trick requires pose map dims == frame dims
-        (rrc_params derives the crop from the image dims). Probe one pair
-        (PIL reads only the header)."""
-        from PIL import Image
-
-        try:
-            video, frame, _ = self._draw_pair(rng)
-            with Image.open(os.path.join(self.root, self.split, video,
-                                         frame)) as a, \
-                 Image.open(os.path.join(self.root, self.pose_split, video,
-                                         frame)) as b:
-                return a.size == b.size
-        except Exception:
-            return True  # missing files surface later with a clearer error
+        (rrc_params derives the crop from the image dims). Probe ONE pair
+        per video — PIL reads only the header, so this is a one-time
+        O(#videos) header scan, and it catches datasets where only SOME
+        videos have off-sized pose maps (a single random probe would not)."""
+        for video in self.videos:
+            frames = self.frames[video]
+            if not frames:
+                continue
+            fp = os.path.join(self.root, self.split, video, frames[0])
+            pp = os.path.join(self.root, self.pose_split, video, frames[0])
+            try:
+                with Image.open(fp) as a, Image.open(pp) as b:
+                    if a.size != b.size:
+                        return False
+            except Exception:
+                continue  # missing files surface later with a clearer error
+        return True
 
     def _native_batches(
         self, batch_size: int, rng: np.random.RandomState

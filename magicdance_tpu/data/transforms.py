@@ -88,8 +88,10 @@ def to_hint_range(img: np.ndarray) -> np.ndarray:
 def from_model_range(img: np.ndarray) -> np.ndarray:
     # Non-finite pixels are mapped to black so random-weight smoke runs don't
     # trip the uint8 cast — but a real sampler producing NaN/Inf is a genuine
-    # numerical failure, so warn instead of hiding it.
-    if not np.isfinite(img).all():
+    # numerical failure, so warn instead of hiding it. The guard is a single
+    # scalar reduction (NaN/Inf propagate through sum), not a full isfinite
+    # materialization, to keep the hot decode path cheap.
+    if not np.isfinite(np.sum(img, dtype=np.float64)):
         import warnings
 
         n_bad = int(np.size(img) - np.isfinite(img).sum())

@@ -192,12 +192,17 @@ def get_all_eval_scores(
             from magicdance_tpu.metrics.core import inception_score_from_logits
             from magicdance_tpu.metrics.fid import folder_logits
 
-            logits = np.concatenate([
+            per_seq = [
                 folder_logits(os.path.join(s, gen_name), inception_weights)
-                for s in seqs])
-            splits = min(10, max(1, len(logits)))
-            m, s = inception_score_from_logits(logits, splits=splits)
-            results["is_mean"], results["is_std"] = m, s
+                for s in seqs]
+            per_seq = [x for x in per_seq if len(x)]  # empty -> (0, 0)
+            if per_seq:
+                logits = np.concatenate(per_seq)
+                splits = min(10, max(1, len(logits)))
+                m, s = inception_score_from_logits(logits, splits=splits)
+                results["is_mean"], results["is_std"] = m, s
+            else:
+                print("[metrics] skipping IS: no generated images found")
     return results
 
 
@@ -212,6 +217,11 @@ def compute_fid_multi(seqs, gen_name, gt_name, inception_weights):
     for seq in seqs:
         gen_feats.append(folder_features(os.path.join(seq, gen_name), inception_weights))
         gt_feats.append(folder_features(os.path.join(seq, gt_name), inception_weights))
+    gen_feats = [x for x in gen_feats if len(x)]  # empty folders -> (0, 0)
+    gt_feats = [x for x in gt_feats if len(x)]
+    if not gen_feats or not gt_feats:
+        print("[metrics] skipping FID: empty image folders")
+        return None
     mu1, s1 = gaussian_frechet_stats(np.concatenate(gen_feats))
     mu2, s2 = gaussian_frechet_stats(np.concatenate(gt_feats))
     return frechet_distance(mu1, s1, mu2, s2)

@@ -69,26 +69,42 @@ def _image_batches(folder: str, batch: int, size: int):
         yield np.stack(imgs)
 
 
-def _folder_inception(folder, weights_path, batch, size, want):
-    """Shared driver for folder_features / folder_logits: Flax InceptionV3
-    for torchvision-layout state dicts (default JAX backend), torch CPU for
-    TorchScript (clean-fid) files. `want` is "pool" or "logits"."""
+_BACKEND_CACHE: dict = {}
+
+
+def _get_backend(weights_path: str):
+    """Resolve + cache the extractor backend for a weights file: the Flax
+    InceptionV3 for torchvision-layout state dicts (default JAX backend),
+    torch CPU otherwise. Cached per path — multi-folder drivers (FID across
+    sequences, IS) must not re-load/re-jit per folder."""
+    if weights_path in _BACKEND_CACHE:
+        return _BACKEND_CACHE[weights_path]
     try:
         from magicdance_tpu.metrics.inception_flax import FlaxInceptionExtractor
 
-        extractor = FlaxInceptionExtractor(weights_path)
+        backend = ("flax", FlaxInceptionExtractor(weights_path))
+    except (KeyError, ValueError):
+        backend = _load_extractor(weights_path)
+    _BACKEND_CACHE[weights_path] = backend
+    return backend
+
+
+def _folder_inception(folder, weights_path, batch, size, want):
+    """Shared driver for folder_features / folder_logits. `want` is "pool"
+    or "logits". A folder with no images returns shape (0, 0) — callers
+    aggregating folders must skip empties (the logits width depends on the
+    backend: 1000 for torchvision layouts, 1008 for the clean-fid
+    TorchScript TF-Inception port)."""
+    kind, model = _get_backend(weights_path)
+    if kind == "flax":
         out = []
         for x in _image_batches(folder, batch, size):
-            pool, logits = extractor(x / 255.0)
+            pool, logits = model(x / 255.0)
             out.append(pool if want == "pool" else logits)
-        dim = 2048 if want == "pool" else 1000
-        return np.concatenate(out) if out else np.zeros((0, dim), np.float32)
-    except (KeyError, ValueError):
-        pass  # not a torchvision-layout state dict -> torch path
+        return np.concatenate(out) if out else np.zeros((0, 0), np.float32)
 
     import torch
 
-    kind, model = _load_extractor(weights_path)
     if want == "logits" and kind != "torchscript":
         # the torchvision fallback strips fc for features — pre-fc
         # activations are NOT logits; refuse rather than mis-score
@@ -110,8 +126,7 @@ def _folder_inception(folder, weights_path, batch, size, want):
                 if isinstance(y, tuple):
                     y = y[0]
             out.append(y.cpu().numpy().reshape(len(x), -1))
-    dim = 2048 if want == "pool" else 1000
-    return np.concatenate(out) if out else np.zeros((0, dim), np.float32)
+    return np.concatenate(out) if out else np.zeros((0, 0), np.float32)
 
 
 def folder_features(
@@ -124,8 +139,9 @@ def folder_features(
 def folder_logits(
     folder: str, weights_path: str, batch: int = 32, size: int = 299
 ) -> np.ndarray:
-    """Class logits (N, 1000) for every image in a folder — the inception
-    score input (ref tool/metrics/utils.py:517-531 'clean_InceptionScore')."""
+    """Class logits (N, C) for every image in a folder — the inception
+    score input (ref tool/metrics/utils.py:517-531 'clean_InceptionScore').
+    C is backend-dependent (1000 torchvision / 1008 clean-fid TF port)."""
     return _folder_inception(folder, weights_path, batch, size, "logits")
 
 

@@ -157,7 +157,10 @@ class MagicPosePipeline:
 
         Donates the f32 tree so its HBM is released as the cast runs —
         without donation startup transiently holds both the f32 and bf16
-        copies of the denoiser."""
+        copies of the denoiser. NOTE: donation DELETES the input buffers;
+        any alias of ``pipe.params["model"]`` taken before this call
+        becomes invalid ("Array has been deleted"). Take references after
+        casting, or keep your own copy."""
         self.params["model"] = jax.jit(
             lambda t: jax.tree.map(
                 lambda p: p.astype(dtype) if p.dtype == jnp.float32 else p, t
