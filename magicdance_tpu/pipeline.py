@@ -230,11 +230,12 @@ class MagicPosePipeline:
         use_ref = reference_image is not None and cfg.has_appearance
         ddim = make_ddim_schedule(self.sched, scfg.steps, eta=scfg.eta)
         video = video and cfg.has_temporal
-        if video and (scfg.cfg_interval is not None or scfg.uncond_every > 1
-                      or scfg.pose_every > 1 or scfg.deepcache_every > 1
-                      or scfg.bank_every > 1):
-            print("[pipeline] turbo flags are not implemented for the "
-                  "overlap-window video sampler; running exact", flush=True)
+        if video and (scfg.pose_every > 1 or scfg.deepcache_every > 1):
+            print("[pipeline] pose_every/deepcache_every do not apply to "
+                  "the overlap-window video sampler (their caches are "
+                  "window-batched and the window layout rotates per step); "
+                  "cfg_interval/uncond_every/bank_every do apply",
+                  flush=True)
         decode_chunk = 8
         key = (scfg.steps, scfg.cfg_scale, scfg.eta, scfg.wonoise,
                scfg.shared_noise, F, latent, pose_maps is not None, use_ref,

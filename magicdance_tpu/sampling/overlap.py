@@ -28,7 +28,7 @@ from magicdance_tpu.ops.schedules import (
     predict_eps_from_v,
     q_sample,
 )
-from magicdance_tpu.sampling.ddim import ddim_step
+from magicdance_tpu.sampling.ddim import build_turbo_schedules, ddim_step
 
 
 def window_starts(num_frames: int, window: int, stride: int) -> np.ndarray:
@@ -56,7 +56,14 @@ def ddim_sample_video(
     parameterization: Parameterization = Parameterization.EPS,
 ) -> jax.Array:
     """x_T: (F, h, w, 4) for a video of F frames; windows of scfg.window
-    frames are denoised jointly through the temporal UNet and averaged."""
+    frames are denoised jointly through the temporal UNet and averaged.
+
+    Turbo flags: `cfg_interval`, `uncond_every` and `bank_every` apply here
+    too — the uncond eps is cached in FRAME space (scatter-averaged), so the
+    cache survives the per-step random window rotation, and the appearance
+    bank is window-independent by construction. `pose_every` /
+    `deepcache_every` do NOT apply: their caches are window-batched tensors
+    and the window layout changes every step (the caller warns)."""
     F = x_T.shape[0]
     W = min(scfg.window, F)
     starts = jnp.asarray(window_starts(F, scfg.window, scfg.stride))
@@ -73,6 +80,26 @@ def ddim_sample_video(
     win_uctx = tile(uncond_context, n_win * W)
     ref_ctx = context[:1] if context is not None else None
     has_appearance = reference_latent is not None and model.cfg.has_appearance
+    use_bank_reuse = scfg.bank_every > 1 and has_appearance
+    turbo = use_bank_reuse or (
+        use_cfg and (scfg.cfg_interval is not None or scfg.uncond_every > 1)
+    )
+    if turbo:
+        active_np, refresh_np, _, _, _, bank_refresh_np = \
+            build_turbo_schedules(scfg, sched.num_timesteps, ddim.timesteps,
+                                  use_cfg)
+        active_arr = jnp.asarray(active_np)
+        refresh_arr = jnp.asarray(refresh_np)
+        bank_refresh_arr = jnp.asarray(bank_refresh_np)
+        if use_bank_reuse:
+            bank0 = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype),
+                jax.eval_shape(lambda: model.apply(
+                    params, reference_latent,
+                    jnp.zeros((reference_latent.shape[0],), jnp.int32),
+                    ref_ctx, method=model.compute_bank)))
+        else:
+            bank0 = ()
 
     def to_eps(out, x, t):
         if parameterization is Parameterization.V:
@@ -80,7 +107,10 @@ def ddim_sample_video(
         return out
 
     def body(carry, i):
-        x, step_rng = carry
+        if turbo:
+            x, step_rng, eps_u_frames, bank_prev = carry
+        else:
+            x, step_rng = carry
         step = S - 1 - i
         t_scalar = ddim.timesteps[step]
         step_rng, rng_off, rng_ref, rng_sig = jax.random.split(step_rng, 4)
@@ -95,19 +125,29 @@ def ddim_sample_video(
 
         bank = None
         if has_appearance:
-            if scfg.wonoise:
-                ref_noisy = reference_latent
+            def fresh_bank(_):
+                if scfg.wonoise:
+                    ref_noisy = reference_latent
+                else:
+                    ref_noise = jax.random.normal(
+                        rng_ref, reference_latent.shape,
+                        reference_latent.dtype)
+                    ref_noisy = q_sample(
+                        sched, reference_latent,
+                        jnp.full((reference_latent.shape[0],), t_scalar,
+                                 jnp.int32),
+                        ref_noise)
+                return model.apply(
+                    params, ref_noisy,
+                    jnp.full((reference_latent.shape[0],), t_scalar,
+                             jnp.int32),
+                    ref_ctx, method=model.compute_bank)
+
+            if use_bank_reuse:
+                bank = jax.lax.cond(bank_refresh_arr[step], fresh_bank,
+                                    lambda _: bank_prev, None)
             else:
-                ref_noise = jax.random.normal(
-                    rng_ref, reference_latent.shape, reference_latent.dtype)
-                ref_noisy = q_sample(
-                    sched, reference_latent,
-                    jnp.full((reference_latent.shape[0],), t_scalar, jnp.int32),
-                    ref_noise)
-            bank = model.apply(
-                params, ref_noisy,
-                jnp.full((reference_latent.shape[0],), t_scalar, jnp.int32),
-                ref_ctx, method=model.compute_bank)
+                bank = fresh_bank(None)
 
         hint_w = pose_hint[flat_idx] if pose_hint is not None else None
         ihint_w = image_hint[flat_idx] if image_hint is not None else None
@@ -115,26 +155,57 @@ def ddim_sample_video(
                             pose_hint=hint_w, image_hint=ihint_w,
                             num_frames=W)
         eps_c = to_eps(eps_c, xw, t)
-        if use_cfg:
-            eps_u = model.apply(params, xw, t, win_uctx, uc=True, num_frames=W)
-            eps_u = to_eps(eps_u, xw, t)
-            eps_w = eps_u + scfg.cfg_scale * (eps_c - eps_u)
-        else:
-            eps_w = eps_c
 
         # scatter-average window predictions back to the frame axis
         # (ref ddim.py:586-594 pred_all/counts)
-        zeros = jnp.zeros_like(x)
-        eps_sum = zeros.at[flat_idx].add(eps_w)
-        counts = jnp.zeros((F,), jnp.float32).at[flat_idx].add(1.0)
-        eps = eps_sum / counts[:, None, None, None]
+        def to_frames(eps_w):
+            zeros = jnp.zeros_like(x)
+            eps_sum = zeros.at[flat_idx].add(eps_w)
+            counts = jnp.zeros((F,), jnp.float32).at[flat_idx].add(1.0)
+            return eps_sum / counts[:, None, None, None]
+
+        if not turbo:
+            if use_cfg:
+                eps_u = model.apply(params, xw, t, win_uctx, uc=True,
+                                    num_frames=W)
+                eps_u = to_eps(eps_u, xw, t)
+                eps = to_frames(eps_u + scfg.cfg_scale * (eps_c - eps_u))
+            else:
+                eps = to_frames(eps_c)
+        else:
+            eps_c_frames = to_frames(eps_c)
+            if use_cfg:
+                # uncond eps cached in FRAME space so the cache survives the
+                # per-step window rotation
+                def fresh_uncond(_):
+                    eu = model.apply(params, xw, t, win_uctx, uc=True,
+                                     num_frames=W)
+                    return to_frames(to_eps(eu, xw, t))
+
+                eps_u_frames = jax.lax.cond(
+                    refresh_arr[step], fresh_uncond,
+                    lambda _: eps_u_frames, None)
+                eps = jnp.where(
+                    active_arr[step],
+                    eps_u_frames
+                    + scfg.cfg_scale * (eps_c_frames - eps_u_frames),
+                    eps_c_frames)
+            else:
+                eps = eps_c_frames
 
         noise = (jax.random.normal(rng_sig, x.shape, x.dtype)
                  if scfg.eta > 0 else jnp.zeros_like(x))
         x_prev, _ = ddim_step(
             x, eps, ddim.alphas[step], ddim.alphas_prev[step],
             ddim.sqrt_one_minus_alphas[step], ddim.sigmas[step], noise)
+        if turbo:
+            return (x_prev, step_rng, eps_u_frames,
+                    bank if use_bank_reuse else ()), None
         return (x_prev, step_rng), None
 
-    (x0, _), _ = jax.lax.scan(body, (x_T, rng), jnp.arange(S))
+    if turbo:
+        carry0 = (x_T, rng, jnp.zeros_like(x_T), bank0)
+        (x0, *_), _ = jax.lax.scan(body, carry0, jnp.arange(S))
+    else:
+        (x0, _), _ = jax.lax.scan(body, (x_T, rng), jnp.arange(S))
     return x0

@@ -112,6 +112,51 @@ def test_overlap_video_sampling():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_overlap_video_turbo():
+    """Video-sampler turbo: cfg_interval/uncond_every (frame-space uncond
+    cache, robust to window rotation) and bank_every. cfg_interval=(0,1) +
+    uncond_every=1 + bank_every=1 runs the turbo scan but must equal the
+    exact path; strided variants run, are deterministic, and differ."""
+    cfg = tiny_cfg(motion=True)
+    F, W = 10, 4
+    model, params = init_model(cfg, B=W)
+    sched = make_schedule(cfg.diffusion)
+    ddim = make_ddim_schedule(sched, 3)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (F, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 16))
+    uctx = jnp.zeros_like(ctx)
+    ref = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 4))
+    hint = jax.random.uniform(jax.random.PRNGKey(4), (F, 64, 64, 3))
+    kw = dict(reference_latent=ref, pose_hint=hint)
+
+    exact = ddim_sample_video(model, params, sched, ddim,
+                              SampleConfig(steps=3, cfg_scale=7.0,
+                                           window=W, stride=3),
+                              jax.random.PRNGKey(5), x_T, ctx, uctx, **kw)
+    t1 = ddim_sample_video(model, params, sched, ddim,
+                           SampleConfig(steps=3, cfg_scale=7.0, window=W,
+                                        stride=3, cfg_interval=(0.0, 1.0)),
+                           jax.random.PRNGKey(5), x_T, ctx, uctx, **kw)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(exact),
+                               atol=1e-5, rtol=1e-5)
+    for scfg in (
+        SampleConfig(steps=3, cfg_scale=7.0, window=W, stride=3,
+                     uncond_every=2),
+        SampleConfig(steps=3, cfg_scale=7.0, window=W, stride=3,
+                     bank_every=2),
+        SampleConfig(steps=3, cfg_scale=7.0, window=W, stride=3,
+                     uncond_every=2, bank_every=2,
+                     cfg_interval=(0.1, 0.95)),
+    ):
+        o1 = ddim_sample_video(model, params, sched, ddim, scfg,
+                               jax.random.PRNGKey(5), x_T, ctx, uctx, **kw)
+        o2 = ddim_sample_video(model, params, sched, ddim, scfg,
+                               jax.random.PRNGKey(5), x_T, ctx, uctx, **kw)
+        assert np.isfinite(np.asarray(o1)).all()
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+        assert not np.allclose(np.asarray(o1), np.asarray(exact), atol=1e-4)
+
+
 def test_plms_sampler():
     from magicdance_tpu.sampling.plms import plms_sample
 
