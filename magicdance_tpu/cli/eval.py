@@ -32,6 +32,12 @@ def main(argv=None) -> None:
     p.add_argument("--batch", type=int, default=8, help="frames per jit batch")
     p.add_argument("--max_videos", type=int, default=0)
     p.add_argument("--every_nth", type=int, default=1)
+    p.add_argument("--rank", type=int, default=None,
+                   help="shard the eval videos: this process handles videos "
+                        "[rank::world] (default: jax.process_index() — the "
+                        "reference shards test_tiktok the same way under "
+                        "torchrun, test_tiktok.py:357)")
+    p.add_argument("--world", type=int, default=None)
     # opt-in turbo modes (defaults exact; BENCH.md) — exposed here so their
     # metric impact can be measured with the same harness
     p.add_argument("--cfg_interval", type=float, nargs=2, default=None,
@@ -83,8 +89,11 @@ def main(argv=None) -> None:
                         deepcache_every=args.deepcache_every,
                         deepcache_level=args.deepcache_level,
                         bank_every=args.bank_every)
+    rank = args.rank if args.rank is not None else jax.process_index()
+    world = args.world if args.world is not None else jax.process_count()
     ds = TikTokEvalDataset(root=args.data, image_size=args.size,
-                           every_nth=args.every_nth)
+                           every_nth=args.every_nth,
+                           rank=rank, world_size=world)
     rng = jax.random.PRNGKey(args.seed)
 
     for vi, seq in enumerate(ds):

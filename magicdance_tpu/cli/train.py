@@ -198,31 +198,36 @@ def main(argv=None) -> None:
 
     # ---- loop -----------------------------------------------------------
     logger = MetricLogger(os.path.join(args.output, "tb"))
-    batch = next(loader)
-    step_fn = trainer.jitted_step(state, batch)
-    t_last = time.time()
-    for it in range(start_step, cfg.num_train_steps):
-        vis_batch = batch if (it + 1) % cfg.logging_gen_steps == 0 else None
-        state, metrics = step_fn(state, batch, jax.random.fold_in(rng, it))
+    try:
         batch = next(loader)
-        if (it + 1) % cfg.logging_steps == 0:
-            m = {k: float(v) for k, v in metrics.items()}
-            dt = time.time() - t_last
-            t_last = time.time()
-            ips = cfg.logging_steps * global_batch / dt
-            logger.log(it + 1, {**m, "images_per_sec": ips})
-            print(f"[train] step {it+1} loss={m['loss']:.4f} "
-                  f"{ips:.1f} img/s")
-        if vis_batch is not None:
-            try:
-                visualize(it + 1, jax.device_get(vis_batch), state)
-            except Exception as e:  # visualization must never kill training
-                print(f"[train] visualize failed: {e}")
-        if (it + 1) % cfg.save_steps == 0:
-            ckpt.save(it + 1, jax.device_get(state))
-            print(f"[train] saved step {it+1}")
-    ckpt.save(cfg.num_train_steps, jax.device_get(state))
-    loader.close()
+        step_fn = trainer.jitted_step(state, batch)
+        t_last = time.time()
+        for it in range(start_step, cfg.num_train_steps):
+            vis_batch = batch if (it + 1) % cfg.logging_gen_steps == 0 else None
+            state, metrics = step_fn(state, batch, jax.random.fold_in(rng, it))
+            batch = next(loader)
+            if (it + 1) % cfg.logging_steps == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t_last
+                t_last = time.time()
+                ips = cfg.logging_steps * global_batch / dt
+                logger.log(it + 1, {**m, "images_per_sec": ips})
+                print(f"[train] step {it+1} loss={m['loss']:.4f} "
+                      f"{ips:.1f} img/s")
+            if vis_batch is not None:
+                try:
+                    visualize(it + 1, jax.device_get(vis_batch), state)
+                except Exception as e:  # visualization must never kill training
+                    print(f"[train] visualize failed: {e}")
+            if (it + 1) % cfg.save_steps == 0:
+                ckpt.save(it + 1, jax.device_get(state))
+                print(f"[train] saved step {it+1}")
+        ckpt.save(cfg.num_train_steps, jax.device_get(state))
+    finally:
+        # leaked loader threads issue device_puts that race later
+        # compilations in the same process (observed XLA-CPU segfault)
+        loader.close()
+        logger.close()
     print("[train] done")
 
 

@@ -45,14 +45,27 @@ class PrefetchLoader:
         t.start()
         self._threads.append(t)
 
+    def _put_until_stop(self, q: "queue.Queue[dict]", item: dict) -> bool:
+        """Blocking put that aborts when close() is called — a thread stuck
+        in an unconditional Queue.put outlives close() and (for the transfer
+        thread) can race device work against later compilations."""
+        while not self._stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _produce(self, it: Iterator[dict]) -> None:
         try:
             for batch in it:
                 if self._stop.is_set():
                     return
-                self._host_q.put(batch)
+                if not self._put_until_stop(self._host_q, batch):
+                    return
         except Exception as e:  # pragma: no cover - worker crash surfaces on get
-            self._host_q.put({"__error__": repr(e)})
+            self._put_until_stop(self._host_q, {"__error__": repr(e)})
 
     def _resolve_sharding(self, key: str, value) -> Any:
         s = self._sharding
@@ -72,17 +85,21 @@ class PrefetchLoader:
     def _transfer(self) -> None:
         try:
             while not self._stop.is_set():
-                batch = self._host_q.get()
+                try:
+                    batch = self._host_q.get(timeout=0.2)
+                except queue.Empty:
+                    continue
                 if "__error__" in batch:
-                    self._dev_q.put(batch)
+                    self._put_until_stop(self._dev_q, batch)
                     return
                 out = {}
                 for k, v in batch.items():
                     sh = self._resolve_sharding(k, v)
                     out[k] = jax.device_put(v, sh) if sh is not None else jax.device_put(v)
-                self._dev_q.put(out)
+                if not self._put_until_stop(self._dev_q, out):
+                    return
         except Exception as e:  # surface on the consumer side, never hang
-            self._dev_q.put({"__error__": repr(e)})
+            self._put_until_stop(self._dev_q, {"__error__": repr(e)})
 
     def __iter__(self):
         return self
@@ -93,5 +110,24 @@ class PrefetchLoader:
             raise RuntimeError(f"data worker failed: {batch['__error__']}")
         return batch
 
-    def close(self) -> None:
+    def close(self, timeout: float = 5.0) -> None:
+        """Stop all worker/transfer threads and join them. Safe to call
+        more than once. Leaked loader threads are not benign: a live
+        transfer thread issues `jax.device_put` concurrently with whatever
+        the process compiles next."""
         self._stop.set()
+        for t in self._threads:
+            t.join(timeout=timeout)
+        # release buffered batches (device buffers held by queued dicts)
+        for q in (self._host_q, self._dev_q):
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+
+    def __enter__(self) -> "PrefetchLoader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

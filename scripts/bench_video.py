@@ -22,17 +22,28 @@ pipe.cast_model_params(jnp.bfloat16)
 print(f"init {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 pose = jax.random.uniform(jax.random.PRNGKey(1), (FRAMES, SIZE, SIZE, 3))
 ref = jax.random.uniform(jax.random.PRNGKey(2), (1, SIZE, SIZE, 3)) * 2 - 1
-scfg = SampleConfig(steps=STEPS, cfg_scale=7.0, window=16, stride=12)
-
-t0 = time.time()
-out = pipe.sample_frames(jax.random.PRNGKey(3), pose, ref, scfg, video=True)
-_ = float(jnp.mean(out))
-compile_s = time.time() - t0
-t0 = time.time()
-out = pipe.sample_frames(jax.random.PRNGKey(4), pose, ref, scfg, video=True)
-_ = float(jnp.mean(out))
-run_s = time.time() - t0
-print(json.dumps({"variant": "video_f24_w16_s12",
-                  "fps": round(FRAMES / run_s, 3),
-                  "s_per_frame": round(run_s / FRAMES, 3),
-                  "compile_s": round(compile_s, 1)}), flush=True)
+variants = {
+    "video_f24_w16_s12": SampleConfig(steps=STEPS, cfg_scale=7.0,
+                                      window=16, stride=12),
+    "video_turbo": SampleConfig(steps=STEPS, cfg_scale=7.0, window=16,
+                                stride=12, uncond_every=2,
+                                cfg_interval=(0.15, 0.85), bank_every=3),
+}
+_sel = os.environ.get("VARIANTS")
+if _sel:
+    variants = {k: variants[k] for k in _sel.split(",")}
+for name, scfg in variants.items():
+    t0 = time.time()
+    out = pipe.sample_frames(jax.random.PRNGKey(3), pose, ref, scfg,
+                             video=True)
+    _ = float(jnp.mean(out))
+    compile_s = time.time() - t0
+    t0 = time.time()
+    out = pipe.sample_frames(jax.random.PRNGKey(4), pose, ref, scfg,
+                             video=True)
+    _ = float(jnp.mean(out))
+    run_s = time.time() - t0
+    print(json.dumps({"variant": name,
+                      "fps": round(FRAMES / run_s, 3),
+                      "s_per_frame": round(run_s / FRAMES, 3),
+                      "compile_s": round(compile_s, 1)}), flush=True)

@@ -90,3 +90,37 @@ def test_cli_train_resume(tmp_path):
           "--output", str(out), "--steps", "4", "--image_size", "32"])
     steps = sorted(os.listdir(out / "checkpoints"))
     assert steps[-1] == "step_00000004"
+
+
+def test_prefetch_loader_close_joins_threads():
+    """Regression: close() must actually terminate the worker/transfer
+    threads. A leaked transfer thread keeps issuing jax.device_put calls
+    that race later XLA compilations in the same process (observed as an
+    XLA-CPU segfault in full-suite runs)."""
+    import threading
+    import time as _time
+
+    import numpy as np
+
+    from magicdance_tpu.data.loader import PrefetchLoader
+
+    def factory(worker):
+        def gen():
+            while True:  # infinite producer — close() must still win
+                yield {"x": np.zeros((2, 4), np.float32)}
+        return gen()
+
+    before = threading.active_count()
+    loader = PrefetchLoader(factory, workers=2, host_depth=1, device_depth=1)
+    batch = next(loader)
+    assert batch["x"].shape == (2, 4)
+    loader.close()
+    for t in loader._threads:
+        assert not t.is_alive(), "loader thread survived close()"
+    # double-close is safe
+    loader.close()
+    # thread count returns to (at most) the pre-loader level
+    deadline = _time.time() + 5
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before
