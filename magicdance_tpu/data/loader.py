@@ -118,6 +118,14 @@ class PrefetchLoader:
         self._stop.set()
         for t in self._threads:
             t.join(timeout=timeout)
+            if t.is_alive():  # pragma: no cover - requires a wedged device_put
+                import warnings
+
+                warnings.warn(
+                    f"PrefetchLoader thread {t.name} survived close(); it may "
+                    "still issue device transfers that race later compilations",
+                    RuntimeWarning,
+                )
         # release buffered batches (device buffers held by queued dicts)
         for q in (self._host_q, self._dev_q):
             try:

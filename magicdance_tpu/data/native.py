@@ -21,20 +21,42 @@ _TRIED = False
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 
 
+def _needs_build(so: str) -> bool:
+    if not os.path.exists(so):
+        return True
+    src = os.path.join(os.path.dirname(so), "image_core.cpp")
+    try:
+        return os.path.getmtime(src) > os.path.getmtime(so)
+    except OSError:
+        return False
+
+
+def _build(so: str) -> None:
+    """Run `make` under an exclusive lock so concurrent processes (multi-
+    process DP training, parallel pytest) never rewrite the .so while a
+    sibling dlopens it. Re-checks staleness after acquiring the lock."""
+    import fcntl
+
+    native_dir = os.path.dirname(so)
+    with open(os.path.join(native_dir, ".build.lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        if _needs_build(so):
+            subprocess.run(["make", "-C", native_dir],
+                           check=True, capture_output=True, timeout=120)
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _LIB, _HAS_RRC, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
     so = os.path.abspath(os.path.join(_NATIVE_DIR, "libmdimage.so"))
-    try:
-        # make is a no-op when the .so is newer than the source; this also
-        # transparently rebuilds stale libs missing newer entry points
-        subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
-                       check=True, capture_output=True, timeout=120)
-    except Exception:
-        if not os.path.exists(so):
-            return None
+    if _needs_build(so):
+        try:
+            _build(so)
+        except Exception:
+            if not os.path.exists(so):
+                return None
     try:
         lib = ctypes.CDLL(so)
         lib.md_batch_load.restype = ctypes.c_int
@@ -64,8 +86,14 @@ def _load() -> Optional[ctypes.CDLL]:
 
 
 def native_available() -> bool:
-    """True when the seeded-RRC training path is native (the full feature
-    set); the basic batch loader may still be native when this is False."""
+    """True when the native batch loader is loaded (basic decode path)."""
+    return _load() is not None
+
+
+def native_rrc_available() -> bool:
+    """True when the seeded-RRC training path is native too. A prebuilt .so
+    from before md_batch_load_rrc (with make unavailable to rebuild) keeps
+    the basic loader native while this returns False."""
     return _load() is not None and _HAS_RRC
 
 

@@ -134,10 +134,10 @@ class TikTokPairDataset:
         crop_scale (0.9, 1.0) the crop covers ≥90 % of the frame, so the
         filters agree except on frames whose uniform region dominates a
         near-full crop — a stricter, not looser, filter."""
-        from magicdance_tpu.data.native import native_available
+        from magicdance_tpu.data.native import native_rrc_available
 
         if use_native is None:
-            use_native = native_available()
+            use_native = native_rrc_available()
         rng = np.random.RandomState(self.seed if seed is None else seed)
         if use_native and self.use_pose and not self._pose_dims_match():
             # the native path aligns the pose crop with the target crop by

@@ -4,7 +4,7 @@ Rebuild of the DisCo-identical evaluation driver
 (ref: tool/metrics/metric_center.py:678 get_all_eval_scores, :834-862 CLI —
 consumes the `{itr}/gen_images|gt_images|pose_maps/NNN.jpg` trees written by
 test_tiktok.py:193-198, supports
-`--type fid fid-vid fvd l1 ssim lpips psnr mae is`).
+`--type fid fid-img fid-vid fvd l1 ssim lpips psnr mae is`).
 
 Always-available metrics (pure math): l1, ssim, psnr, mae.
 Weight-gated metrics: lpips (torch lpips VGG weights), fid / is (InceptionV3
@@ -130,6 +130,7 @@ def get_all_eval_scores(
     inception_weights: Optional[str] = None,
     i3d_weights: Optional[str] = None,
     resnet3d_weights: Optional[str] = None,
+    sample_frames: int = 0,
 ) -> dict:
     """Walk `{root}/{seq}/{gen_images,gt_images}` trees (flat folders also
     accepted) and aggregate (ref metric_center.py:678)."""
@@ -164,6 +165,17 @@ def get_all_eval_scores(
         fid = compute_fid_multi(seqs, gen_name, gt_name, inception_weights)
         if fid is not None:
             results["fid"] = fid
+
+    if "fid-img" in types:
+        # FID-Img (ref metric_center.py:606-618): frame-level FID where each
+        # sequence is a video and only the FIRST sample_frames frames count
+        # (ref utils.py:251-254); sample_frames=0 uses all frames, which is
+        # then identical to `fid` on materialized frame trees
+        fid_img = compute_fid_multi(seqs, gen_name, gt_name,
+                                    inception_weights,
+                                    max_images=sample_frames)
+        if fid_img is not None:
+            results["fid-img"] = fid_img
 
     # video Frechet metrics: each sequence folder is one video of sorted
     # frames (ref metric_center.py:692 'fvd': FVD-3DInception / I3D,
@@ -206,7 +218,8 @@ def get_all_eval_scores(
     return results
 
 
-def compute_fid_multi(seqs, gen_name, gt_name, inception_weights):
+def compute_fid_multi(seqs, gen_name, gt_name, inception_weights,
+                      max_images: int = 0):
     if not inception_weights:
         print("[metrics] skipping FID: no inception weights provided")
         return None
@@ -215,8 +228,12 @@ def compute_fid_multi(seqs, gen_name, gt_name, inception_weights):
 
     gen_feats, gt_feats = [], []
     for seq in seqs:
-        gen_feats.append(folder_features(os.path.join(seq, gen_name), inception_weights))
-        gt_feats.append(folder_features(os.path.join(seq, gt_name), inception_weights))
+        gen_feats.append(folder_features(os.path.join(seq, gen_name),
+                                         inception_weights,
+                                         max_images=max_images))
+        gt_feats.append(folder_features(os.path.join(seq, gt_name),
+                                        inception_weights,
+                                        max_images=max_images))
     gen_feats = [x for x in gen_feats if len(x)]  # empty folders -> (0, 0)
     gt_feats = [x for x in gt_feats if len(x)]
     if not gen_feats or not gt_feats:
@@ -233,7 +250,10 @@ def main(argv=None) -> None:
                    help="folder with {seq}/gen_images|gt_images trees")
     p.add_argument("--type", nargs="+", default=["l1", "ssim", "psnr"],
                    choices=["l1", "mae", "ssim", "psnr", "lpips", "fid",
-                            "fid-vid", "fvd", "is"])
+                            "fid-img", "fid-vid", "fvd", "is"])
+    p.add_argument("--sample_frames", type=int, default=0,
+                   help="FID-Img: use only the first N frames per sequence "
+                        "(0 = all; ref metric_center.py number_sample_frames)")
     p.add_argument("--lpips_weights", default=None)
     p.add_argument("--inception_weights", default=None)
     p.add_argument("--i3d_weights", default=None,
@@ -249,6 +269,7 @@ def main(argv=None) -> None:
         inception_weights=args.inception_weights,
         i3d_weights=args.i3d_weights,
         resnet3d_weights=args.resnet3d_weights,
+        sample_frames=args.sample_frames,
     )
     print(json.dumps(res, indent=2))
     out = args.out or os.path.join(args.root, "results.json")

@@ -53,13 +53,17 @@ def _load_extractor(weights_path: str):
     return ("torchvision", m)
 
 
-def _image_batches(folder: str, batch: int, size: int):
+def _image_batches(folder: str, batch: int, size: int, max_images: int = 0):
     """Yield (B, size, size, 3) float32 batches in 0-255 (bicubic resize —
-    the clean-fid convention)."""
+    the clean-fid convention). max_images>0 keeps only the FIRST N frames —
+    the reference's FID-Img frame sampling (ref tool/metrics/utils.py:
+    251-254 `frame_ids[:sample_frames]`)."""
     files = sorted(
         f for f in os.listdir(folder)
         if f.lower().endswith((".png", ".jpg", ".jpeg"))
     )
+    if max_images:
+        files = files[:max_images]
     for i in range(0, len(files), batch):
         imgs = []
         for f in files[i : i + batch]:
@@ -89,7 +93,8 @@ def _get_backend(weights_path: str):
     return backend
 
 
-def _folder_inception(folder, weights_path, batch, size, want):
+def _folder_inception(folder, weights_path, batch, size, want,
+                      max_images: int = 0):
     """Shared driver for folder_features / folder_logits. `want` is "pool"
     or "logits". A folder with no images returns shape (0, 0) — callers
     aggregating folders must skip empties (the logits width depends on the
@@ -98,7 +103,7 @@ def _folder_inception(folder, weights_path, batch, size, want):
     kind, model = _get_backend(weights_path)
     if kind == "flax":
         out = []
-        for x in _image_batches(folder, batch, size):
+        for x in _image_batches(folder, batch, size, max_images):
             pool, logits = model(x / 255.0)
             out.append(pool if want == "pool" else logits)
         return np.concatenate(out) if out else np.zeros((0, 0), np.float32)
@@ -114,7 +119,7 @@ def _folder_inception(folder, weights_path, batch, size, want):
             "(Flax path)")
     out = []
     with torch.no_grad():
-        for x in _image_batches(folder, batch, size):
+        for x in _image_batches(folder, batch, size, max_images):
             t = torch.from_numpy(x).permute(0, 3, 1, 2)
             if kind == "torchscript":
                 # clean-fid script: uint8-range input; return_features=True
@@ -130,10 +135,13 @@ def _folder_inception(folder, weights_path, batch, size, want):
 
 
 def folder_features(
-    folder: str, weights_path: str, batch: int = 32, size: int = 299
+    folder: str, weights_path: str, batch: int = 32, size: int = 299,
+    max_images: int = 0,
 ) -> np.ndarray:
-    """Pool3/2048-dim features for every image in a folder."""
-    return _folder_inception(folder, weights_path, batch, size, "pool")
+    """Pool3/2048-dim features for every image in a folder. max_images>0
+    keeps only the first N frames (FID-Img sampling)."""
+    return _folder_inception(folder, weights_path, batch, size, "pool",
+                             max_images)
 
 
 def folder_logits(

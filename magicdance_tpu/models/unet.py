@@ -192,8 +192,12 @@ class UNet(nn.Module):
         shallow = deep_cache_in is not None
         assert not (shallow and collect_deep), "collect_deep in a shallow pass"
         assert not (shallow and collect_bank), "bank write in a shallow pass"
-        assert 0 <= deep_level < len(cfg.channel_mult) - 1, (
-            f"deep_level {deep_level} out of range for "
+        # only constrain deep_level when a DeepCache path actually uses it —
+        # a plain forward on a single-level config (channel_mult=(1,)) is
+        # valid and never consults the split point
+        assert not (shallow or collect_deep) or (
+            0 <= deep_level < len(cfg.channel_mult) - 1
+        ), (f"deep_level {deep_level} out of range for "
             f"{len(cfg.channel_mult)} levels")
         # rematerialize blocks under autodiff (no-op on forward-only graphs):
         # SD1.5-scale 512^2 training does not fit HBM without it

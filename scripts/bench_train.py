@@ -44,25 +44,22 @@ def main():
     model_cfg = ModelConfig()
     pipe = MagicPosePipeline(model_cfg)
     pipe.fast_init_params(jax.random.PRNGKey(0), image_size=SIZE, scale=0.02)
-    params = pipe.params
+    # keep the ~10 GB f32 source tree on HOST only: it must never sit in
+    # HBM next to a train state (that duplicate skews every measured bs,
+    # not just the last one)
+    params = jax.device_get(pipe.params)
+    pipe.params = None
 
     model = MagicPoseModel(model_cfg)
     vae = AutoencoderKL(model_cfg.vae)
     clip = CLIPTextEncoder(model_cfg.clip)
 
-    for bs_i, bs in enumerate(BS_LIST):
+    for bs in BS_LIST:
         cfg = TrainConfig(model=model_cfg, freeze=REGIME,
                           batch_size_per_device=bs, image_size=SIZE)
         trainer = Trainer(cfg, model, vae, clip)
         state = trainer.create_state(params["model"], params["vae"],
                                      params["clip"])
-        # the source f32 tree (~10 GB at full scale) must not stay alive on
-        # device next to the train state (frozen copies are bf16)
-        if bs_i == len(BS_LIST) - 1:
-            pipe.params = None
-            params = None
-            import gc
-            gc.collect()
         n_train = sum(int(np.prod(p.shape))
                       for p in jax.tree.leaves(state.train_params))
         batch = {
@@ -116,7 +113,7 @@ def main():
     # ---- host input pipeline: can decode keep up? -----------------------
     from PIL import Image
 
-    from magicdance_tpu.data.native import batch_load_images_rrc, native_available
+    from magicdance_tpu.data.native import batch_load_images_rrc, native_rrc_available
 
     tmp = "/tmp/bench_train_imgs"
     os.makedirs(tmp, exist_ok=True)
@@ -134,7 +131,7 @@ def main():
         batch_load_images_rrc(paths, SIZE, list(range(24)))
     dec_s = (time.time() - t0) / reps
     print(json.dumps({
-        "native_decode": native_available(),
+        "native_decode": native_rrc_available(),
         "decode_24x512_s": round(dec_s, 3),
         "decode_imgs_per_sec": round(24 / dec_s, 1),
     }), flush=True)

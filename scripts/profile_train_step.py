@@ -48,13 +48,13 @@ def bucket_of(name: str) -> str:
     return "other"
 
 
-def parse_xplane(trace_dir: str) -> dict:
+def parse_xplane(trace_dir: str) -> "tuple[dict, float]":
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                       recursive=True)
     if not paths:
-        return {}
+        return {}, 0.0
     xs = xplane_pb2.XSpace()
     with open(sorted(paths)[-1], "rb") as f:
         xs.ParseFromString(f.read())

@@ -89,3 +89,43 @@ def test_inception_score_cli_end_to_end(tmp_path):
     res = json.load(open(tmp_path / "results.json"))
     assert np.isfinite(res["is_mean"]) and res["is_mean"] >= 1.0
     assert np.isfinite(res["is_std"])
+
+
+def test_fid_img_sampling(tmp_path):
+    """FID-Img (ref metric_center.py:606-618): frame-level FID with only the
+    first sample_frames frames per sequence. With sample_frames=0 it must
+    equal plain FID; with sampling the feature set changes, so the score
+    differs when later frames differ from early ones."""
+    import os
+
+    import torch
+    from PIL import Image
+
+    from magicdance_tpu.metrics.center import get_all_eval_scores
+
+    model = InceptionV3()
+    init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+    sd = {k: torch.tensor(v)
+          for k, v in synth_torchvision_sd(init["params"]).items()}
+    wpath = tmp_path / "inception.pth"
+    torch.save(sd, str(wpath))
+
+    rs = np.random.RandomState(2)
+    for kind in ("gen_images", "gt_images"):
+        d = tmp_path / "seq" / kind
+        os.makedirs(d)
+        for i in range(6):
+            # later frames have a different distribution (bright offset)
+            base = rs.randint(0, 128, (32, 32, 3))
+            img = base + (120 if i >= 2 and kind == "gen_images" else 0)
+            Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(
+                d / f"{i}.png")
+
+    full = get_all_eval_scores(str(tmp_path), ["fid", "fid-img"],
+                               inception_weights=str(wpath))
+    assert full["fid-img"] == pytest.approx(full["fid"])
+    sampled = get_all_eval_scores(str(tmp_path), ["fid-img"],
+                                  inception_weights=str(wpath),
+                                  sample_frames=2)
+    assert np.isfinite(sampled["fid-img"])
+    assert abs(sampled["fid-img"] - full["fid-img"]) > 1e-3

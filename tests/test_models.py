@@ -93,6 +93,20 @@ def test_unet_bank_broadcast_batch1(rng):
     assert out.shape == x.shape
 
 
+def test_unet_single_level_forward(rng):
+    """A plain forward on a single-level config (channel_mult=(1,)) must not
+    trip the deep_level range assert — the split point is only consulted by
+    DeepCache passes (regression: the assert used to run unconditionally)."""
+    cfg = tiny_unet_cfg(channel_mult=(1,), attention_resolutions=(1,))
+    model = UNet(cfg)
+    x = jnp.zeros((1, 8, 8, 4))
+    t = jnp.array([3])
+    ctx = jnp.zeros((1, 5, 16))
+    variables = model.init(rng, x, t, ctx)
+    out, _ = model.apply(variables, x, t, ctx)
+    assert out.shape == x.shape
+
+
 def test_unet_zero_init_output():
     """conv_out is zero-init: output is exactly 0 at init (ref zero_module)."""
     cfg = tiny_unet_cfg()

@@ -6,7 +6,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
-from magicdance_tpu.data.native import batch_load_images, native_available
+from magicdance_tpu.data.native import (batch_load_images, native_available,
+                                         native_rrc_available)
 
 
 @pytest.fixture()
@@ -68,8 +69,8 @@ def test_native_loader_missing_file(image_files):
 def test_rrc_seeded_crop_shared(image_files):
     from magicdance_tpu.data.native import batch_load_images_rrc
 
-    if not native_available():
-        pytest.skip("native lib not built")
+    if not native_rrc_available():
+        pytest.skip("native RRC entry point not built")
     p = image_files[1]  # png (lossless)
     out = batch_load_images_rrc([p, p, p], 32, [7, 7, 8],
                                 scale_range=(0.7, 0.9))
@@ -85,8 +86,8 @@ def test_rrc_native_matches_python_replica(image_files):
     import magicdance_tpu.data.native as nat
     from magicdance_tpu.data.native import batch_load_images_rrc, rrc_params
 
-    if not native_available():
-        pytest.skip("native lib not built")
+    if not native_rrc_available():
+        pytest.skip("native RRC entry point not built")
     p = image_files[1]
     img = np.asarray(Image.open(p).convert("RGB"))
     h, w = img.shape[:2]
@@ -131,7 +132,7 @@ def test_dataset_native_batches(tmp_path):
                 tmp_path / "pose_map_train_set" / v / f"{i:04d}.png")
 
     ds = TikTokPairDataset(root=str(tmp_path), image_size=32, seed=3)
-    for use_native in ([True] if native_available() else []) + [False]:
+    for use_native in ([True] if native_rrc_available() else []) + [False]:
         batch = next(iter(ds.batches(2, use_native=use_native)))
         assert batch["image"].shape == (2, 32, 32, 3)
         assert batch["reference"].shape == (2, 32, 32, 3)
@@ -142,3 +143,24 @@ def test_dataset_native_batches(tmp_path):
             # pose map (hint range) must be the same crop as its target
             img01 = (batch["image"] + 1.0) / 2.0
             assert float(np.abs(img01 - batch["pose"]).mean()) < 1e-3
+
+
+def test_needs_build_mtime_gating(tmp_path):
+    """make must run only when the .so is missing or the source is newer —
+    an unconditional make on first use races concurrent processes rewriting
+    the .so mid-dlopen (regression)."""
+    import magicdance_tpu.data.native as nat
+
+    so = tmp_path / "libmdimage.so"
+    src = tmp_path / "image_core.cpp"
+    # missing .so -> build
+    src.write_text("// src")
+    assert nat._needs_build(str(so))
+    # fresh .so (newer than source) -> no build
+    so.write_bytes(b"elf")
+    os.utime(src, (1000, 1000))
+    os.utime(so, (2000, 2000))
+    assert not nat._needs_build(str(so))
+    # stale .so (older than source) -> build
+    os.utime(src, (3000, 3000))
+    assert nat._needs_build(str(so))
