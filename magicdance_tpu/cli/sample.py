@@ -78,6 +78,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="refresh the appearance bank (full-UNet-copy write "
                         "pass) every k-th step, reuse the cached bank in "
                         "between; biggest win at small frame batches")
+    p.add_argument("--bank_downsample", type=int, default=1,
+                   help="average-pool the largest appearance-bank entries "
+                        "f x f before the read sites consume them (ToMe-"
+                        "style KV reduction; cuts bank-read attention cost "
+                        "at the pooled sites ~f^2)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler (xplane) trace of the "
                         "sampling run into DIR (TensorBoard-loadable)")
@@ -169,6 +174,7 @@ def main(argv=None) -> None:
                         pose_every=args.pose_every,
                         deepcache_every=args.deepcache_every,
                         bank_every=args.bank_every,
+                        bank_downsample=args.bank_downsample,
                         deepcache_level=args.deepcache_level)
     os.makedirs(args.output, exist_ok=True)
     rng = jax.random.PRNGKey(args.seed)

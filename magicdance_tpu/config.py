@@ -211,9 +211,11 @@ class SampleConfig:
     # cut sampler compile time ~40%.
     fused_cfg: bool = False
     # ---- opt-in turbo modes (NOT reference-parity; defaults are exact) ----
-    # Implemented in the DDIM sampler (sampling/ddim.py); the PLMS /
-    # DPM-Solver++ samplers and the overlap-window video sampler ignore
-    # them and always run exact.
+    # Implemented in the DDIM sampler (sampling/ddim.py). The overlap-window
+    # video sampler (sampling/overlap.py) honors cfg_interval, uncond_every,
+    # bank_every and bank_downsample (pose_every/deepcache_every don't apply
+    # there — their caches are window-batched and the window layout rotates
+    # per step). The PLMS / DPM-Solver++ samplers always run exact.
     # cfg_interval=(lo, hi): apply classifier-free guidance only while the
     # trajectory progress t/T is inside [lo, hi] (inclusive both ends);
     # outside, the uncond UNet
@@ -250,6 +252,14 @@ class SampleConfig:
     # where the B=1 write is a full third of the per-step UNet forwards
     # (at B=32 it is ~1-2 % — amortized across the batch).
     bank_every: int = 1
+    # bank_downsample=f (f>1): average-pool each appearance-bank entry f x f
+    # over its site's spatial grid before the read sites consume it
+    # (ToMe-style KV reduction). Only entries with at least
+    # bank_downsample_min_seq tokens are pooled (default 4096 = the five
+    # ds-1 read sites, the largest single cost bucket in the DDIM step);
+    # smaller sites stay exact. Cuts pooled-site bank KV ~f^2.
+    bank_downsample: int = 1
+    bank_downsample_min_seq: int = 4096
 
 
 class FreezeRegime(str, enum.Enum):

@@ -242,7 +242,8 @@ class MagicPosePipeline:
                decode, video, scfg.window, scfg.stride, scfg.fused_cfg,
                scfg.control_mode, scfg.cfg_interval, scfg.uncond_every,
                scfg.pose_every, scfg.deepcache_every, scfg.deepcache_level,
-               scfg.bank_every, image_hints is not None)
+               scfg.bank_every, scfg.bank_downsample,
+               scfg.bank_downsample_min_seq, image_hints is not None)
         if key not in self._jit_sample:
             def run(params, ids, uids, ref_image, pose_maps, image_hints,
                     rng):

@@ -113,6 +113,31 @@ def build_turbo_schedules(
             bank_refresh)
 
 
+def downsample_bank(bank, factor: int, min_seq: int = 4096):
+    """Average-pool each (B, S, C) bank entry ``factor x factor`` over its
+    site's (sqrt(S), sqrt(S)) spatial grid (opt-in turbo mode,
+    SampleConfig.bank_downsample; ToMe-style KV reduction on the bank-read
+    shapes of ref attention.py:301-313).
+
+    Entries with fewer than ``min_seq`` tokens — or whose site is not a
+    square grid divisible by ``factor`` — pass through exact. Pooling runs
+    in fp32 and casts back to the entry dtype.
+    """
+    if bank is None or factor <= 1:
+        return bank
+
+    def pool(e):
+        b, s, c = e.shape
+        h = int(round(s ** 0.5))
+        if h * h != s or s < min_seq or h % factor:
+            return e
+        hp = h // factor
+        x = e.reshape(b, hp, factor, hp, factor, c).astype(jnp.float32)
+        return x.mean(axis=(2, 4)).reshape(b, hp * hp, c).astype(e.dtype)
+
+    return jax.tree.map(pool, bank)
+
+
 def ddim_step(
     x: jax.Array,
     eps: jax.Array,
@@ -208,12 +233,15 @@ def ddim_sample(
                 )
                 t_ref = jnp.full((reference_latent.shape[0],), t_scalar, jnp.int32)
                 ref_noisy = q_sample(sched, reference_latent, t_ref, ref_noise)
-            bank = model.apply(
-                params,
-                ref_noisy,
-                jnp.full((reference_latent.shape[0],), t_scalar, jnp.int32),
-                ref_ctx,
-                method=model.compute_bank,
+            bank = downsample_bank(
+                model.apply(
+                    params,
+                    ref_noisy,
+                    jnp.full((reference_latent.shape[0],), t_scalar, jnp.int32),
+                    ref_ctx,
+                    method=model.compute_bank,
+                ),
+                scfg.bank_downsample, scfg.bank_downsample_min_seq,
             )
 
         if use_cfg and scfg.fused_cfg:
@@ -316,10 +344,14 @@ def ddim_sample(
 
     if use_bank_reuse:
         bank_shapes = jax.eval_shape(
-            lambda: model.apply(
-                params, reference_latent,
-                jnp.zeros((reference_latent.shape[0],), jnp.int32), ref_ctx,
-                method=model.compute_bank,
+            lambda: downsample_bank(
+                model.apply(
+                    params, reference_latent,
+                    jnp.zeros((reference_latent.shape[0],), jnp.int32),
+                    ref_ctx,
+                    method=model.compute_bank,
+                ),
+                scfg.bank_downsample, scfg.bank_downsample_min_seq,
             )
         )
         bank0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
@@ -349,13 +381,16 @@ def ddim_sample(
                                      jnp.int32)
                     ref_noisy = q_sample(sched, reference_latent, t_ref,
                                          ref_noise)
-                return model.apply(
-                    params,
-                    ref_noisy,
-                    jnp.full((reference_latent.shape[0],), t_scalar,
-                             jnp.int32),
-                    ref_ctx,
-                    method=model.compute_bank,
+                return downsample_bank(
+                    model.apply(
+                        params,
+                        ref_noisy,
+                        jnp.full((reference_latent.shape[0],), t_scalar,
+                                 jnp.int32),
+                        ref_ctx,
+                        method=model.compute_bank,
+                    ),
+                    scfg.bank_downsample, scfg.bank_downsample_min_seq,
                 )
 
             if use_bank_reuse:

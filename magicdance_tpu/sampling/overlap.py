@@ -28,7 +28,11 @@ from magicdance_tpu.ops.schedules import (
     predict_eps_from_v,
     q_sample,
 )
-from magicdance_tpu.sampling.ddim import build_turbo_schedules, ddim_step
+from magicdance_tpu.sampling.ddim import (
+    build_turbo_schedules,
+    ddim_step,
+    downsample_bank,
+)
 
 
 def window_starts(num_frames: int, window: int, stride: int) -> np.ndarray:
@@ -94,10 +98,12 @@ def ddim_sample_video(
         if use_bank_reuse:
             bank0 = jax.tree.map(
                 lambda s: jnp.zeros(s.shape, s.dtype),
-                jax.eval_shape(lambda: model.apply(
-                    params, reference_latent,
-                    jnp.zeros((reference_latent.shape[0],), jnp.int32),
-                    ref_ctx, method=model.compute_bank)))
+                jax.eval_shape(lambda: downsample_bank(
+                    model.apply(
+                        params, reference_latent,
+                        jnp.zeros((reference_latent.shape[0],), jnp.int32),
+                        ref_ctx, method=model.compute_bank),
+                    scfg.bank_downsample, scfg.bank_downsample_min_seq)))
         else:
             bank0 = ()
 
@@ -137,11 +143,13 @@ def ddim_sample_video(
                         jnp.full((reference_latent.shape[0],), t_scalar,
                                  jnp.int32),
                         ref_noise)
-                return model.apply(
-                    params, ref_noisy,
-                    jnp.full((reference_latent.shape[0],), t_scalar,
-                             jnp.int32),
-                    ref_ctx, method=model.compute_bank)
+                return downsample_bank(
+                    model.apply(
+                        params, ref_noisy,
+                        jnp.full((reference_latent.shape[0],), t_scalar,
+                                 jnp.int32),
+                        ref_ctx, method=model.compute_bank),
+                    scfg.bank_downsample, scfg.bank_downsample_min_seq)
 
             if use_bank_reuse:
                 bank = jax.lax.cond(bank_refresh_arr[step], fresh_bank,

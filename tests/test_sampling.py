@@ -720,3 +720,90 @@ def test_deepcache_level1():
     # level-1 shallow recomputes more of the net -> closer to exact
     assert (np.abs(outs[1] - np.asarray(exact)).mean()
             < np.abs(outs[0] - np.asarray(exact)).mean())
+
+
+def test_downsample_bank_helper():
+    """downsample_bank pools square sites >= min_seq by exact 2x2 means and
+    passes everything else through untouched."""
+    from magicdance_tpu.sampling.ddim import downsample_bank
+
+    rng = np.random.RandomState(0)
+    big = jnp.asarray(rng.randn(2, 64, 5).astype(np.float32))   # 8x8 site
+    small = jnp.asarray(rng.randn(2, 16, 5).astype(np.float32))  # 4x4 site
+    odd = jnp.asarray(rng.randn(2, 20, 5).astype(np.float32))    # non-square
+    bank = (big, small, odd)
+
+    out = downsample_bank(bank, 2, min_seq=64)
+    assert out[0].shape == (2, 16, 5)
+    assert out[1].shape == (2, 16, 5) and out[1] is small
+    assert out[2].shape == (2, 20, 5) and out[2] is odd
+    # pooled token (0,0) is the mean of spatial (0,0),(0,1),(1,0),(1,1)
+    grid = np.asarray(big).reshape(2, 8, 8, 5)
+    want = grid[:, :2, :2].mean(axis=(1, 2))
+    np.testing.assert_allclose(np.asarray(out[0][:, 0]), want, rtol=1e-6)
+
+    # factor 1 and a too-high threshold are both identity
+    assert downsample_bank(bank, 1, min_seq=1)[0] is big
+    assert downsample_bank(bank, 2, min_seq=4096)[0] is big
+    assert downsample_bank(None, 2) is None
+
+
+def test_bank_downsample_sampling():
+    """bank_downsample: runs deterministic + finite through both the exact
+    scan and the turbo scan (incl. bank reuse), diverges from exact, and a
+    threshold above every site is exactly exact."""
+    cfg = tiny_cfg()
+    model, params = init_model(cfg, B=2)
+    sched = make_schedule(cfg.diffusion)
+    ddim = make_ddim_schedule(sched, 4)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 16))
+    ref = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 4))
+    hint = jax.random.uniform(jax.random.PRNGKey(4), (2, 64, 64, 3))
+
+    def run(scfg):
+        return np.asarray(ddim_sample(
+            model, params, sched, ddim, scfg, jax.random.PRNGKey(5),
+            x_T, ctx, jnp.zeros_like(ctx),
+            reference_latent=ref, pose_hint=hint))
+
+    exact = run(SampleConfig(steps=4, cfg_scale=7.0))
+    # threshold above the largest site (8x8=64 tokens): identity
+    same = run(SampleConfig(steps=4, cfg_scale=7.0, bank_downsample=2,
+                            bank_downsample_min_seq=4096))
+    np.testing.assert_array_equal(same, exact)
+
+    scfg = SampleConfig(steps=4, cfg_scale=7.0, bank_downsample=2,
+                        bank_downsample_min_seq=64)
+    o1, o2 = run(scfg), run(scfg)
+    assert np.isfinite(o1).all()
+    np.testing.assert_array_equal(o1, o2)
+    assert not np.allclose(o1, exact, atol=1e-4)
+
+    # stacked with the turbo scan (bank reuse carries the POOLED bank)
+    o3 = run(SampleConfig(steps=4, cfg_scale=7.0, bank_downsample=2,
+                          bank_downsample_min_seq=64, bank_every=2,
+                          uncond_every=2, cfg_interval=(0.1, 0.95)))
+    assert np.isfinite(o3).all()
+
+
+def test_bank_downsample_video():
+    """bank_downsample applies to the overlap-window video sampler."""
+    cfg = tiny_cfg(motion=True)
+    model, params = init_model(cfg, B=4)
+    sched = make_schedule(cfg.diffusion)
+    ddim = make_ddim_schedule(sched, 3)
+    F = 6
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (F, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 16))
+    ref = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 4))
+    hint = jax.random.uniform(jax.random.PRNGKey(4), (F, 64, 64, 3))
+    scfg = SampleConfig(steps=3, cfg_scale=7.0, window=4, stride=3,
+                        bank_downsample=2, bank_downsample_min_seq=64,
+                        bank_every=2)
+    out = ddim_sample_video(model, params, sched, ddim, scfg,
+                            jax.random.PRNGKey(5), x_T, ctx,
+                            jnp.zeros_like(ctx),
+                            reference_latent=ref, pose_hint=hint)
+    assert out.shape == (F, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
