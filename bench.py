@@ -4,13 +4,22 @@ Full MagicPose serving path on one TPU chip: per DDIM step one appearance
 bank write (shared by the frame batch), per frame a pose-ControlNet forward,
 a bank-read cond UNet forward, and a plain uncond UNet forward
 (controlnet_important CFG, ref ddim.py:598-605), finished with VAE decode.
-Prints ONE JSON line. vs_baseline is against the driver-set target of
-8 frames/sec/chip (BASELINE.md "Rebuild targets").
+
+Prints ONE JSON line. The headline `value` is EXACT reference parity; the
+`detail` dict also carries the measured turbo-stack fps (opt-in approximate
+modes) and, when BENCH_VIDEO=1, the temporal-UNet overlap-sampling video
+fps, so the round artifact records the full envelope. vs_baseline is
+against the driver-set target of 8 frames/sec/chip (BASELINE.md "Rebuild
+targets").
+
+Env knobs: BENCH_FRAMES (32), BENCH_STEPS (50), BENCH_SIZE (512),
+BENCH_TURBO=0 to skip the turbo row, BENCH_VIDEO=1 to add the video row.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -18,16 +27,50 @@ import jax
 import jax.numpy as jnp
 
 
-FRAMES = int(__import__("os").environ.get("BENCH_FRAMES", "32"))
-STEPS = int(__import__("os").environ.get("BENCH_STEPS", "50"))
-SIZE = int(__import__("os").environ.get("BENCH_SIZE", "512"))
+FRAMES = int(os.environ.get("BENCH_FRAMES", "32"))
+STEPS = int(os.environ.get("BENCH_STEPS", "50"))
+SIZE = int(os.environ.get("BENCH_SIZE", "512"))
+RUN_TURBO = os.environ.get("BENCH_TURBO", "1") == "1"
+RUN_VIDEO = os.environ.get("BENCH_VIDEO", "0") == "1"
 TARGET_FPS = 8.0
+
+# persistent compilation cache: repeat bench runs (and the driver's
+# end-of-round run after this round prewarmed the TPU entries) skip the
+# multi-minute sampler compile entirely
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".cache", "xla")
+try:
+    os.makedirs(_CACHE, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception as e:  # pragma: no cover - read-only checkout
+    print(f"[bench] compilation cache unavailable: {e!r}", file=sys.stderr,
+          flush=True)
+
+
+def _timed_sample(pipe, pose, ref, scfg, tag, video=False):
+    """(compile_s, run_s): one warmup call + one steady-state call.
+
+    device_get forces real completion; block_until_ready is unreliable over
+    the axon relay."""
+    t0 = time.time()
+    out = pipe.sample_frames(jax.random.PRNGKey(3), pose, ref, scfg,
+                             video=video)
+    _ = float(jnp.mean(out))
+    compile_s = time.time() - t0
+    print(f"[bench] {tag}: compile+warmup {compile_s:.1f}s",
+          file=sys.stderr, flush=True)
+    t0 = time.time()
+    out = pipe.sample_frames(jax.random.PRNGKey(4), pose, ref, scfg,
+                             video=video)
+    _ = float(jnp.mean(out))
+    return compile_s, time.time() - t0
 
 
 def main() -> None:
     from magicdance_tpu.config import ModelConfig, SampleConfig
     from magicdance_tpu.pipeline import MagicPosePipeline
-    from magicdance_tpu.utils.testing import randomize_zero_kernels
 
     cfg = ModelConfig()  # flagship APPEARANCE_POSE, SD1.5 scale
     pipe = MagicPosePipeline(cfg)
@@ -38,39 +81,61 @@ def main() -> None:
     init_s = time.time() - t0
     print(f"[bench] init done in {init_s:.1f}s", file=sys.stderr, flush=True)
 
-    scfg = SampleConfig(steps=STEPS, cfg_scale=7.0)
     pose = jax.random.uniform(jax.random.PRNGKey(1), (FRAMES, SIZE, SIZE, 3))
     ref = jax.random.uniform(jax.random.PRNGKey(2), (1, SIZE, SIZE, 3)) * 2 - 1
 
-    # compile + warmup (device_get forces real completion; block_until_ready
-    # is unreliable over the axon relay)
-    t0 = time.time()
-    out = pipe.sample_frames(jax.random.PRNGKey(3), pose, ref, scfg)
-    _sync = float(jax.numpy.mean(out))
-    compile_s = time.time() - t0
-    print(f"[bench] compile+warmup {compile_s:.1f}s", file=sys.stderr, flush=True)
-
-    # steady-state measurement
-    t0 = time.time()
-    out = pipe.sample_frames(jax.random.PRNGKey(4), pose, ref, scfg)
-    _sync = float(jax.numpy.mean(out))
-    run_s = time.time() - t0
-
+    # ---- headline: EXACT reference-parity recipe -------------------------
+    scfg = SampleConfig(steps=STEPS, cfg_scale=7.0)
+    compile_s, run_s = _timed_sample(pipe, pose, ref, scfg, "exact")
     fps = FRAMES / run_s
+
+    detail = {
+        "frames_batch": FRAMES,
+        "steps": STEPS,
+        "seconds_per_frame": round(run_s / FRAMES, 3),
+        "init_s": round(init_s, 1),
+        "compile_s": round(compile_s, 1),
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+
+    # ---- turbo stack: the measured opt-in approximate envelope ----------
+    if RUN_TURBO:
+        turbo_modes = dict(deepcache_every=3, pose_every=3, uncond_every=2,
+                           cfg_interval=(0.15, 0.85), bank_every=3,
+                           bank_downsample=2)
+        tscfg = SampleConfig(steps=STEPS, cfg_scale=7.0, **turbo_modes)
+        tcompile_s, trun_s = _timed_sample(pipe, pose, ref, tscfg, "turbo")
+        detail["turbo_fps"] = round(FRAMES / trun_s, 4)
+        detail["turbo_modes"] = {k: list(v) if isinstance(v, tuple) else v
+                                 for k, v in turbo_modes.items()}
+        detail["turbo_compile_s"] = round(tcompile_s, 1)
+
+    # ---- video mode: temporal UNet + overlap sampling --------------------
+    if RUN_VIDEO:
+        from dataclasses import replace
+
+        vcfg = replace(cfg, unet=replace(cfg.unet, use_motion_modules=True))
+        vpipe = MagicPosePipeline(vcfg)
+        vpipe.fast_init_params(jax.random.PRNGKey(7), image_size=SIZE,
+                               zeros=True)
+        vpipe.cast_model_params(jnp.bfloat16)
+        vframes = int(os.environ.get("BENCH_VIDEO_FRAMES", "24"))
+        vpose = jax.random.uniform(jax.random.PRNGKey(8),
+                                   (vframes, SIZE, SIZE, 3))
+        vscfg = SampleConfig(steps=STEPS, cfg_scale=7.0)
+        vcompile_s, vrun_s = _timed_sample(vpipe, vpose, ref, vscfg, "video",
+                                           video=True)
+        detail["video_fps"] = round(vframes / vrun_s, 4)
+        detail["video_frames"] = vframes
+        detail["video_compile_s"] = round(vcompile_s, 1)
+
     result = {
         "metric": f"{SIZE}x{SIZE} denoised frames/sec/chip @ DDIM-{STEPS} (CFG, appearance+pose)",
         "value": round(fps, 4),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / TARGET_FPS, 4),
-        "detail": {
-            "frames_batch": FRAMES,
-            "steps": STEPS,
-            "seconds_per_frame": round(run_s / FRAMES, 3),
-            "init_s": round(init_s, 1),
-            "compile_s": round(compile_s, 1),
-            "backend": jax.default_backend(),
-            "device": str(jax.devices()[0]),
-        },
+        "detail": detail,
     }
     print(json.dumps(result))
 

@@ -35,6 +35,7 @@ def _load_video_model(weights_path: str):
     for a TorchScript file."""
     import torch
 
+    sd_error: Optional[Exception] = None
     try:
         obj = torch.load(weights_path, map_location="cpu", weights_only=False)
         if isinstance(obj, dict):
@@ -45,16 +46,26 @@ def _load_video_model(weights_path: str):
                    for k in sd):
                 # Kinetics 3D-ResNet50 (resnet-50-kinetics.pth) -> FID-VID
                 return "flax_r3d", {k: v for k, v in sd.items()}
-    except Exception:
-        pass
+            sd_error = ValueError(
+                "dict has neither I3D (Conv3d_1a_7x7*) nor 3D-ResNet50 "
+                "(layer1.0.conv1*) keys")
+    except Exception as e:
+        # don't swallow the real failure: a corrupt/truncated state dict
+        # would otherwise surface only as a confusing TorchScript error
+        sd_error = e
+    if sd_error is None:
+        sd_error = ValueError("loaded object is not a state-dict mapping")
     try:
         m = torch.jit.load(weights_path, map_location="cpu").eval()
         return "torch", m
     except Exception as e:
         raise ValueError(
-            f"could not load video backbone from {weights_path}: {e}; provide "
-            "the I3D state dict (i3d_pretrained_400.pt) or a TorchScript "
-            "I3D/3D-ResNet file"
+            f"could not load video backbone from {weights_path}: "
+            f"state-dict path failed with [{type(sd_error).__name__}: "
+            f"{sd_error}]; TorchScript path failed with "
+            f"[{type(e).__name__}: {e}]. Provide the I3D state dict "
+            "(i3d_pretrained_400.pt), the Kinetics 3D-ResNet50 state dict "
+            "(resnet-50-kinetics.pth), or a TorchScript I3D/3D-ResNet file"
         )
 
 
