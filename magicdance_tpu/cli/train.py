@@ -27,6 +27,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True)
     p.add_argument("--init_checkpoint", default=None,
                    help="torch checkpoint to initialize from (converted)")
+    p.add_argument("--motion_module_checkpoint", default=None,
+                   help="AnimateDiff (or reference-layout) motion-module "
+                        "torch checkpoint merged over the UNet init — the "
+                        "merge_state_dict_mm stage-3 surgery "
+                        "(ref train_tiktok.py:146-192)")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--batch", type=int, default=None, help="per-device batch")
     p.add_argument("--lr", type=float, default=None)
@@ -49,6 +54,7 @@ def main(argv=None) -> None:
     from magicdance_tpu import config as C
     from magicdance_tpu.data.loader import PrefetchLoader
     from magicdance_tpu.data.tiktok import TikTokPairDataset
+    from magicdance_tpu.data.tiktok_video import TikTokClipDataset
     from magicdance_tpu.data.tokenizer import empty_prompt_ids
     from magicdance_tpu.models import AutoencoderKL, CLIPTextEncoder, MagicPoseModel
     from magicdance_tpu.parallel.mesh import make_mesh
@@ -121,6 +127,25 @@ def main(argv=None) -> None:
         vp = vae.init(rng, jnp.zeros((1, cfg.image_size, cfg.image_size, 3)), rng)
         cp = clip.init(rng, jnp.zeros((1, cfg.model.clip.max_length), jnp.int32))
 
+    if args.motion_module_checkpoint:
+        # stage-3 surgery: overlay AnimateDiff motion weights on the UNet
+        # (merge_state_dict_mm, ref train_tiktok.py:146-192)
+        from magicdance_tpu.convert.torch_convert import (
+            convert_motion_modules,
+            load_torch_state,
+            merge_motion_state,
+            to_jax,
+        )
+
+        mm_sd = load_torch_state(args.motion_module_checkpoint)
+        mm_tree = to_jax(convert_motion_modules(mm_sd, cfg.model.unet))
+        mp = dict(mp)
+        mp["params"] = dict(mp["params"])
+        mp["params"]["unet"] = merge_motion_state(
+            dict(mp["params"]["unet"]), mm_tree)
+        print(f"[train] merged {len(mm_tree)} motion modules from "
+              f"{args.motion_module_checkpoint}")
+
     state = trainer.create_state(mp, vp, cp)
     ckpt = CheckpointManager(os.path.join(args.output, "checkpoints"),
                              cfg.save_total_limit)
@@ -134,16 +159,30 @@ def main(argv=None) -> None:
         print(f"[train] resumed from step {start_step}")
 
     # ---- data -----------------------------------------------------------
-    ids = empty_prompt_ids(global_batch, cfg.model.clip.max_length)
+    # temporal (stage-3) training consumes F-frame clips, frame-folded into
+    # the batch axis (ref train_tiktok.py:1189-1200); image stages consume
+    # (reference, target) pairs
+    F = trainer.num_frames
+    ids = empty_prompt_ids(global_batch * F, cfg.model.clip.max_length)
 
     def it_factory(worker: int):
-        ds = TikTokPairDataset(
-            root=args.data,
-            image_size=cfg.image_size,
-            img_bin_limit=cfg.img_bin_limit,
-            use_pose=cfg.model.has_pose,
-            seed=cfg.seed * 1000 + worker,
-        )
+        if cfg.model.has_temporal:
+            ds = TikTokClipDataset(
+                root=args.data,
+                image_size=cfg.image_size,
+                clip_len=cfg.video_frames,
+                frame_stride=cfg.frame_stride,
+                use_pose=cfg.model.has_pose,
+                seed=cfg.seed * 1000 + worker,
+            )
+        else:
+            ds = TikTokPairDataset(
+                root=args.data,
+                image_size=cfg.image_size,
+                img_bin_limit=cfg.img_bin_limit,
+                use_pose=cfg.model.has_pose,
+                seed=cfg.seed * 1000 + worker,
+            )
         for batch in ds.batches(global_batch):
             batch["input_ids"] = ids
             if not cfg.model.has_pose:
@@ -182,7 +221,8 @@ def main(argv=None) -> None:
         ref = jnp.asarray(batch["reference"][:1])
         gen = np.asarray(pipe.sample_frames(
             jax.random.PRNGKey(it), pose, ref,
-            SampleConfig(steps=cfg.vis_steps, cfg_scale=7.0)))
+            SampleConfig(steps=cfg.vis_steps, cfg_scale=7.0),
+            video=cfg.model.has_temporal))
         rows = []
         for i in range(n):
             row = [from_model_range(np.asarray(batch["image"][i]))]

@@ -316,6 +316,11 @@ class TrainConfig:
     seed: int = 42
     image_size: int = 512
     img_bin_limit: int = 29
+    # stage-3 (temporal) training: frames per clip fed to the motion modules
+    # (the reference hardcodes video_length=16, motion_module.py:137) and the
+    # temporal subsampling stride inside the source video
+    video_frames: int = 16
+    frame_stride: int = 4
     # empty-text conditioning (the reference's --with_text flag *disables*
     # text, train_tiktok.py:1396-1397; empty is the default training signal)
     use_text: bool = False

@@ -165,7 +165,7 @@ class Trainer:
         self.pred = trainable_predicate(cfg.freeze, cfg.sd_locked)
         # video clips arrive frame-folded into batch: (B*F, H, W, C)
         # (ref train_tiktok.py:1189-1200; video_length 16, motion_module.py:137)
-        self.num_frames = 16 if cfg.model.has_temporal else 1
+        self.num_frames = cfg.video_frames if cfg.model.has_temporal else 1
         self._jit_step = None
 
     # -- state ------------------------------------------------------------
