@@ -7,6 +7,9 @@ here. Run on the real chip: `python scripts/bench_latency.py`.
 """
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from magicdance_tpu.utils.compcache import enable_compilation_cache
+enable_compilation_cache()
 import json, time
 import jax, jax.numpy as jnp
 from magicdance_tpu.config import ModelConfig, SampleConfig

@@ -14,6 +14,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from magicdance_tpu.utils.compcache import enable_compilation_cache
+enable_compilation_cache()
+
 import json
 import time
 

@@ -16,6 +16,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from magicdance_tpu.utils.compcache import enable_compilation_cache
+enable_compilation_cache()
+
 import json
 import time
 
@@ -55,6 +58,17 @@ variants = {
                                       uncond_every=2,
                                       cfg_interval=(0.15, 0.85),
                                       bank_every=3),
+    # bank-KV spatial downsample (round-3): pool the 5 ds-1 bank entries 2x2
+    # before the read sites — attacks the single largest attention bucket
+    "bank_ds2": SampleConfig(steps=STEPS, cfg_scale=7.0, bank_downsample=2),
+    "bank_ds2_min1024": SampleConfig(steps=STEPS, cfg_scale=7.0,
+                                     bank_downsample=2,
+                                     bank_downsample_min_seq=1024),
+    "all_stride3_bank3_ds2": SampleConfig(steps=STEPS, cfg_scale=7.0,
+                                          deepcache_every=3, pose_every=3,
+                                          uncond_every=2,
+                                          cfg_interval=(0.15, 0.85),
+                                          bank_every=3, bank_downsample=2),
 }
 # optional subset: VARIANTS=exact,bank3,... ("exact" always runs first for
 # the comparison baseline)

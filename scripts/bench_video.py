@@ -7,6 +7,9 @@ cost.
 """
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from magicdance_tpu.utils.compcache import enable_compilation_cache
+enable_compilation_cache()
 import json, time
 import jax, jax.numpy as jnp
 from magicdance_tpu.config import ModelConfig, ModelVariant, SampleConfig, UNetConfig
@@ -28,6 +31,10 @@ variants = {
     "video_turbo": SampleConfig(steps=STEPS, cfg_scale=7.0, window=16,
                                 stride=12, uncond_every=2,
                                 cfg_interval=(0.15, 0.85), bank_every=3),
+    "video_turbo_ds2": SampleConfig(steps=STEPS, cfg_scale=7.0, window=16,
+                                    stride=12, uncond_every=2,
+                                    cfg_interval=(0.15, 0.85), bank_every=3,
+                                    bank_downsample=2),
 }
 _sel = os.environ.get("VARIANTS")
 if _sel:
