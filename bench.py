@@ -104,38 +104,58 @@ def main() -> None:
     }
 
     # ---- turbo stack: the measured opt-in approximate envelope ----------
+    # optional rows never sink the headline: record the error and move on
     if RUN_TURBO and time.time() - _T_START < BUDGET_S:
-        turbo_modes = dict(deepcache_every=3, pose_every=3, uncond_every=2,
-                           cfg_interval=(0.15, 0.85), bank_every=3,
-                           bank_downsample=2)
-        tscfg = SampleConfig(steps=STEPS, cfg_scale=7.0, **turbo_modes)
-        tcompile_s, trun_s = _timed_sample(pipe, pose, ref, tscfg, "turbo")
-        detail["turbo_fps"] = round(FRAMES / trun_s, 4)
-        detail["turbo_modes"] = {k: list(v) if isinstance(v, tuple) else v
-                                 for k, v in turbo_modes.items()}
-        detail["turbo_compile_s"] = round(tcompile_s, 1)
+        try:
+            turbo_modes = dict(deepcache_every=3, pose_every=3, uncond_every=2,
+                               cfg_interval=(0.15, 0.85), bank_every=3,
+                               bank_downsample=2)
+            tscfg = SampleConfig(steps=STEPS, cfg_scale=7.0, **turbo_modes)
+            tcompile_s, trun_s = _timed_sample(pipe, pose, ref, tscfg, "turbo")
+            detail["turbo_fps"] = round(FRAMES / trun_s, 4)
+            detail["turbo_modes"] = {k: list(v) if isinstance(v, tuple) else v
+                                     for k, v in turbo_modes.items()}
+            detail["turbo_compile_s"] = round(tcompile_s, 1)
+        except Exception as e:  # pragma: no cover - device-dependent
+            detail["turbo_error"] = repr(e)[:200]
+            print(f"[bench] turbo row failed: {e!r}", file=sys.stderr,
+                  flush=True)
 
     # ---- video mode: temporal UNet + overlap sampling --------------------
     if RUN_VIDEO and time.time() - _T_START < BUDGET_S:
-        from dataclasses import replace
+        try:
+            from dataclasses import replace
 
-        from magicdance_tpu.config import ModelVariant
+            from magicdance_tpu.config import ModelVariant
 
-        vcfg = replace(cfg, variant=ModelVariant.APPEARANCE_POSE_TEMPORAL,
-                       unet=replace(cfg.unet, use_motion_modules=True))
-        vpipe = MagicPosePipeline(vcfg)
-        vpipe.fast_init_params(jax.random.PRNGKey(7), image_size=SIZE,
-                               zeros=True)
-        vpipe.cast_model_params(jnp.bfloat16)
-        vframes = int(os.environ.get("BENCH_VIDEO_FRAMES", "24"))
-        vpose = jax.random.uniform(jax.random.PRNGKey(8),
-                                   (vframes, SIZE, SIZE, 3))
-        vscfg = SampleConfig(steps=STEPS, cfg_scale=7.0)
-        vcompile_s, vrun_s = _timed_sample(vpipe, vpose, ref, vscfg, "video",
-                                           video=True)
-        detail["video_fps"] = round(vframes / vrun_s, 4)
-        detail["video_frames"] = vframes
-        detail["video_compile_s"] = round(vcompile_s, 1)
+            # the image pipeline's ~4.5 GB of bf16 params must leave HBM
+            # before the (larger) temporal pipeline initializes — both
+            # resident at once exhausts a 16 GB v5e
+            pipe.params = None
+            del pipe
+            import gc
+
+            gc.collect()
+
+            vcfg = replace(cfg, variant=ModelVariant.APPEARANCE_POSE_TEMPORAL,
+                           unet=replace(cfg.unet, use_motion_modules=True))
+            vpipe = MagicPosePipeline(vcfg)
+            vpipe.fast_init_params(jax.random.PRNGKey(7), image_size=SIZE,
+                                   zeros=True)
+            vpipe.cast_model_params(jnp.bfloat16)
+            vframes = int(os.environ.get("BENCH_VIDEO_FRAMES", "24"))
+            vpose = jax.random.uniform(jax.random.PRNGKey(8),
+                                       (vframes, SIZE, SIZE, 3))
+            vscfg = SampleConfig(steps=STEPS, cfg_scale=7.0)
+            vcompile_s, vrun_s = _timed_sample(vpipe, vpose, ref, vscfg,
+                                               "video", video=True)
+            detail["video_fps"] = round(vframes / vrun_s, 4)
+            detail["video_frames"] = vframes
+            detail["video_compile_s"] = round(vcompile_s, 1)
+        except Exception as e:  # pragma: no cover - device-dependent
+            detail["video_error"] = repr(e)[:200]
+            print(f"[bench] video row failed: {e!r}", file=sys.stderr,
+                  flush=True)
 
     result = {
         "metric": f"{SIZE}x{SIZE} denoised frames/sec/chip @ DDIM-{STEPS} (CFG, appearance+pose)",
