@@ -407,6 +407,16 @@ class TemporalTransformer(nn.Module):
         z = z.reshape(b * f, hh * ww, c)
         z = dense(c, dtype=self.dtype, name="proj_in")(z)
         head_dim = c // self.num_heads
+        # One transpose pair per module, not per attention unit: LayerNorm,
+        # FF, residual adds, and proj_out are all per-token, so the entire
+        # block stack runs in frame-minor layout (b*hw, f, c). The reference
+        # rearranges '(b f) d c <-> (b d) f c' inside EVERY attention call
+        # (motion_module.py:277) — on TPU those are full-tensor HBM
+        # round-trips and were 24% of the video DDIM step (xprof
+        # layout/copies bucket, scripts/profile_video_step.py). Identical
+        # math: matmuls/norms see the same per-row values either way.
+        z = z.reshape(b, f, hh * ww, c).transpose(0, 2, 1, 3)
+        z = z.reshape(b * hh * ww, f, c)
         for i in range(self.num_layers):
             for j in range(self.attns_per_block):
                 # temporal self-attention with sinusoidal frame PE (applied
@@ -416,18 +426,15 @@ class TemporalTransformer(nn.Module):
                     epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32,
                     name=f"norm_attn_{i}_{j}",
                 )(z.astype(jnp.float32)).astype(z.dtype)
-                h = h.reshape(b, f, hh * ww, c).transpose(0, 2, 1, 3)
-                h = h.reshape(b * hh * ww, f, c)
                 h = SinusoidalPositionalEncoding(
                     max_len=self.max_len, name=f"pe_{i}_{j}")(h)
-                attn = CrossAttention(
+                z = z + CrossAttention(
                     num_heads=self.num_heads, head_dim=head_dim,
                     dtype=self.dtype, name=f"attn_{i}_{j}",
                 )(h)
-                attn = attn.reshape(b, hh * ww, f, c).transpose(0, 2, 1, 3)
-                z = z + attn.reshape(b * f, hh * ww, c)
             h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32,
                              name=f"norm_ff_{i}")(z.astype(jnp.float32)).astype(z.dtype)
             z = z + GEGLUFeedForward(dim=c, dtype=self.dtype, name=f"ff_{i}")(h)
         z = dense(c, dtype=self.dtype, name="proj_out", zero_init=True)(z)
+        z = z.reshape(b, hh * ww, f, c).transpose(0, 2, 1, 3)
         return residual + z.reshape(b, f, hh, ww, c)
