@@ -15,6 +15,7 @@ from __future__ import annotations
 import contextlib
 import contextvars
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -104,7 +105,7 @@ def _split_heads(t: jax.Array, h: int) -> jax.Array:
 
 
 def _pick_impl_packed(sq: int, sk_total: int, d: int, *, bank: bool,
-                      has_mask: bool) -> str:
+                      has_mask: bool, batch: int = 0) -> str:
     """Dispatch for packed (B, S, H*D) inputs. "flash_fused" = the
     lane-sliced kernels that skip the BSNH->BHSD transposes entirely —
     measured (v5e, B=32, scripts/bench_attn_layout.py) they win every
@@ -119,6 +120,18 @@ def _pick_impl_packed(sq: int, sk_total: int, d: int, *, bank: bool,
     if override != "auto":
         return override
     on_tpu = jax.default_backend() == "tpu"
+    # SHORT self-attention (the temporal/motion-module S=16 shape over b·hw
+    # batch rows): XLA's BSNH→BHSD relayouts around the tiny einsums dominate
+    # the math — route to the block-diagonal grouped kernel, which needs
+    # S | 128 and whole 128-row tiles. Measured (v5e,
+    # scripts/bench_grouped_attn.py): 1.73x at ds1 (b·hw=4096, C=320),
+    # 1.13-1.47x at the deeper temporal sites; the spatial ds8 S=64 shape is
+    # a wash (0.99x), so dispatch stops at S<=32.
+    if (on_tpu and not bank and sq == sk_total and sq <= 32
+            and 128 % sq == 0 and batch > 0 and batch * sq % 128 == 0
+            and d <= 256
+            and os.environ.get("MD_DISABLE_GROUPED_ATTN") != "1"):
+        return "flash_grouped"
     if not (on_tpu and sq >= 256 and sk_total >= 256 and d <= 256):
         return "xla"
     if bank and (has_mask or sq >= 4096):
@@ -143,11 +156,16 @@ def attention_packed(
         scale = d ** -0.5
     if impl == "auto":
         impl = _pick_impl_packed(q.shape[1], k.shape[1], d, bank=False,
-                                 has_mask=False)
+                                 has_mask=False, batch=q.shape[0])
     if impl == "flash_fused":
         from magicdance_tpu.ops.flash_attention import flash_attention_fused
 
         return flash_attention_fused(q, k, v, scale=scale, num_heads=num_heads)
+    if impl == "flash_grouped":
+        from magicdance_tpu.ops.flash_attention import flash_attention_grouped
+
+        return flash_attention_grouped(q, k, v, scale=scale,
+                                       num_heads=num_heads)
     out = dot_product_attention(
         _split_heads(q, num_heads), _split_heads(k, num_heads),
         _split_heads(v, num_heads), scale=scale, impl=impl,

@@ -89,3 +89,21 @@ def flash_attention_two_source_fused(q, k_self, v_self, k_bank, v_bank, *,
                               _split(v_bank, num_heads),
                               scale=scale, impl="xla")
     return out.reshape(q.shape)
+
+
+def flash_attention_grouped(q, k, v, *, scale: float, num_heads: int):
+    """Short-sequence self-attention in packed layout (B, S, H*D), S | 128:
+    the motion-module temporal shape (S=16) and the ds8 spatial shape
+    (S=64). One block-diagonal (128, 128) logits matmul per head covers
+    128/S sequences with zero layout transposes."""
+    if _pallas_available():
+        from magicdance_tpu.ops.pallas.flash import (
+            flash_attention_grouped as _fag,
+        )
+
+        return _fag(q, k, v, scale=scale, num_heads=num_heads)
+    from magicdance_tpu.ops.attention import _xla_attention
+
+    out = _xla_attention(_split(q, num_heads), _split(k, num_heads),
+                         _split(v, num_heads), scale)
+    return out.reshape(q.shape)

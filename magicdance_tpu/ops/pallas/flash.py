@@ -363,6 +363,78 @@ def flash_attention_fused(q, k, v, *, scale: float, num_heads: int):
     )(q, k, v)
 
 
+def _grouped_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                         num_heads: int, group: int):
+    # Block-diagonal self-attention over flattened (rows, C) tiles: each
+    # consecutive `group` rows form one independent attention sequence.
+    # One (R, R) logits matmul per head covers R/group sequences at once —
+    # the off-diagonal waste is free (the MXU is idle at these tiny-FLOP
+    # shapes; the win is zero HBM relayouts), and the additive mask makes
+    # the math EXACTLY per-sequence softmax(QK^T)V.
+    q = q_ref[...]  # (R, H*D)
+    k = k_ref[...]
+    v = v_ref[...]
+    r = q.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0) // group
+    cols = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1) // group
+    mask = jnp.where(rows == cols, 0.0, -1e30).astype(jnp.float32)
+    hd = q.shape[-1] // num_heads
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        logits = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + mask
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:, sl] = (o / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "num_heads"))
+def flash_attention_grouped(q, k, v, *, scale: float, num_heads: int):
+    """Self-attention for SHORT sequences in packed layout — the temporal
+    (motion-module) shape (B·hw, F=16, H*D) and the ds8 spatial shape
+    (B, 64, H*D).
+
+    XLA lowers these through BSNH→BHSD relayouts whose HBM round-trips
+    dwarf the attention math (xprof "layout/copies" bucket,
+    scripts/profile_video_step.py). Here q/k/v flatten to (B·S, C) — a
+    free reshape, rows are already contiguous — and each kernel program
+    handles 128 rows = 128/S whole sequences with ONE MXU-shaped
+    (128, 128) logits matmul per head, masked block-diagonally so the
+    result is exactly per-sequence attention.
+
+    Requires S | 128 and 128 | B·S (callers guard via the dispatch in
+    `magicdance_tpu.ops.attention._pick_impl_packed`).
+    """
+    b, s, c = q.shape
+    rows = b * s
+    r = 128
+    assert 128 % s == 0 and rows % r == 0, (b, s)
+    q2 = q.reshape(rows, c)
+    k2 = k.reshape(rows, c)
+    v2 = v.reshape(rows, c)
+    spec = pl.BlockSpec((r, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_grouped_attn_kernel, scale=scale,
+                          num_heads=num_heads, group=s),
+        out_shape=jax.ShapeDtypeStruct((rows, c), q.dtype),
+        grid=(rows // r,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(q2, k2, v2)
+    return out.reshape(b, s, c)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "num_heads"))
 def flash_attention_two_source_fused(q, k_self, v_self, k_bank, v_bank, *,
                                      scale: float, num_heads: int):

@@ -173,3 +173,54 @@ def test_fused_layout_kernels_match_reference():
                                                 num_heads=h)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
                                atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("b,s,h,d", [
+    (16, 16, 4, 8),   # temporal shape: 16 sequences of 16 frames, 256 rows
+    (2, 64, 2, 32),   # ds8 spatial shape: 2 sequences straddle one tile
+    (8, 16, 2, 40),   # non-128 head dim (SD1.5 hd=40)
+])
+def test_grouped_kernel_matches_xla(b, s, h, d):
+    """Block-diagonal grouped kernel == independent per-sequence attention."""
+    from magicdance_tpu.ops.pallas.flash import flash_attention_grouped
+
+    q = _rand((b, s, h * d), 30)
+    k = _rand((b, s, h * d), 31)
+    v = _rand((b, s, h * d), 32)
+    scale = d**-0.5
+    ref = _xla_attention(q.reshape(b, s, h, d), k.reshape(b, s, h, d),
+                         v.reshape(b, s, h, d), scale).reshape(b, s, h * d)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_grouped(q, k, v, scale=scale, num_heads=h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_grouped_dispatch_conditions():
+    """_pick_impl_packed routes short self-attention to the grouped kernel
+    only when the tile constraints hold (and never off-TPU here)."""
+    from unittest import mock
+
+    from magicdance_tpu.ops import attention as attn_mod
+
+    with mock.patch.object(attn_mod.jax, "default_backend",
+                           return_value="tpu"):
+        pick = attn_mod._pick_impl_packed
+        assert pick(16, 16, 40, bank=False, has_mask=False,
+                    batch=8192) == "flash_grouped"
+        # spatial ds8 S=64 measured a wash on-chip: stays on XLA
+        assert pick(64, 64, 160, bank=False, has_mask=False,
+                    batch=32) == "xla"
+        # S doesn't divide 128
+        assert pick(24, 24, 40, bank=False, has_mask=False,
+                    batch=8192) == "xla"
+        # rows not a multiple of 128
+        assert pick(16, 16, 40, bank=False, has_mask=False, batch=3) == "xla"
+        # cross-attention (sq != sk) stays on XLA
+        assert pick(64, 77, 40, bank=False, has_mask=False, batch=32) == "xla"
+        # bank reads never take the grouped path
+        assert pick(64, 128, 40, bank=True, has_mask=False,
+                    batch=32) != "flash_grouped"
+    # off-TPU (this CPU test env): XLA
+    assert attn_mod._pick_impl_packed(16, 16, 40, bank=False, has_mask=False,
+                                      batch=8192) == "xla"
