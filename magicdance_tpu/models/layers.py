@@ -411,10 +411,13 @@ class TemporalTransformer(nn.Module):
         # FF, residual adds, and proj_out are all per-token, so the entire
         # block stack runs in frame-minor layout (b*hw, f, c). The reference
         # rearranges '(b f) d c <-> (b d) f c' inside EVERY attention call
-        # (motion_module.py:277) — on TPU those are full-tensor HBM
-        # round-trips and were 24% of the video DDIM step (xprof
-        # layout/copies bucket, scripts/profile_video_step.py). Identical
-        # math: matmuls/norms see the same per-row values either way.
+        # (motion_module.py:277). Measured effect of this hoist: none — XLA's
+        # algebraic simplifier already moved the per-unit transposes through
+        # the per-token ops (BENCH.md negative result), so this is a
+        # trace-size/clarity win only; the xprof layout/copies bucket is
+        # XLA's own BSNH/BHSD shuffles inside the seq-16 attention, which the
+        # grouped block-diagonal Pallas kernel addresses. Identical math:
+        # matmuls/norms see the same per-row values either way.
         z = z.reshape(b, f, hh * ww, c).transpose(0, 2, 1, 3)
         z = z.reshape(b * hh * ww, f, c)
         for i in range(self.num_layers):

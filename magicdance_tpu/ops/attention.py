@@ -127,10 +127,12 @@ def _pick_impl_packed(sq: int, sk_total: int, d: int, *, bank: bool,
     # scripts/bench_grouped_attn.py): 1.73x at ds1 (b·hw=4096, C=320),
     # 1.13-1.47x at the deeper temporal sites; the spatial ds8 S=64 shape is
     # a wash (0.99x), so dispatch stops at S<=32.
-    if (on_tpu and not bank and sq == sk_total and sq <= 32
+    if (on_tpu and not bank and not has_mask and sq == sk_total and sq <= 32
             and 128 % sq == 0 and batch > 0 and batch * sq % 128 == 0
             and d <= 256
             and os.environ.get("MD_DISABLE_GROUPED_ATTN") != "1"):
+        # `not has_mask` is a defensive guard: the grouped kernel has no mask
+        # input, and today's callers never pass one on this path
         return "flash_grouped"
     if not (on_tpu and sq >= 256 and sk_total >= 256 and d <= 256):
         return "xla"

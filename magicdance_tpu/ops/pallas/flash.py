@@ -415,7 +415,13 @@ def flash_attention_grouped(q, k, v, *, scale: float, num_heads: int):
     b, s, c = q.shape
     rows = b * s
     r = 128
-    assert 128 % s == 0 and rows % r == 0, (b, s)
+    # hard correctness precondition (sequences straddling a 128-row program
+    # boundary would silently attend only within their tile) — must survive
+    # `python -O`, so not a bare assert
+    if 128 % s != 0 or rows % r != 0:
+        raise ValueError(
+            f"flash_attention_grouped needs S | 128 and 128 | B*S, got "
+            f"B={b}, S={s}")
     q2 = q.reshape(rows, c)
     k2 = k.reshape(rows, c)
     v2 = v.reshape(rows, c)

@@ -45,6 +45,7 @@ def main():
         ("temporal ds8 (8x8, C=1280)", 64, F, 8, 160),
         ("spatial ds8 S=64 (B=32, C=1280)", 32, 64, 8, 160),
     ]
+    failures = 0
     for label, b, s, h, d in cases:
         c = h * d
         q = jax.random.normal(jax.random.PRNGKey(0), (b, s, c), jnp.bfloat16)
@@ -68,8 +69,17 @@ def main():
         a = jnp.asarray(xla_path(q, k, v), jnp.float32)
         g = jnp.asarray(grouped_path(q, k, v), jnp.float32)
         err = float(jnp.max(jnp.abs(a - g)))
+        # parity gate: the real Mosaic lowering (non-128-aligned lane slices
+        # at head_dim 40/80/160) is validated HERE on-chip — CI only runs the
+        # kernel under interpret mode — so a mismatch must fail the run
+        ok = err < 0.1  # bf16 softmax-attention tolerance at these shapes
+        failures += 0 if ok else 1
         print(f"{label:36s} xla {t_xla*1e6:8.1f}us  grouped {t_grp*1e6:8.1f}us"
-              f"  speedup {t_xla/t_grp:5.2f}x  maxerr {err:.4f}")
+              f"  speedup {t_xla/t_grp:5.2f}x  maxerr {err:.4f}"
+              f"{'' if ok else '  PARITY FAIL'}")
+    if failures:
+        print(f"{failures} parity failure(s)", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -59,11 +59,12 @@ def parse_xplane(trace_dir: str):
     paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                       recursive=True)
     if not paths:
-        return {}, 0.0
+        return {}, 0.0, {}
     xs = xplane_pb2.XSpace()
     with open(sorted(paths)[-1], "rb") as f:
         xs.ParseFromString(f.read())
     buckets = defaultdict(float)
+    ops = defaultdict(lambda: [0.0, 0])  # name -> [seconds, count]
     total = 0.0
     for plane in xs.planes:
         pname = plane.name.lower()
@@ -81,7 +82,10 @@ def parse_xplane(trace_dir: str):
                     buckets["async_dma(overlapped)"] += ev.duration_ps / 1e12
                     continue
                 buckets[bucket_of(name)] += ev.duration_ps / 1e12
-    return dict(buckets), total
+                rec = ops[name]
+                rec[0] += ev.duration_ps / 1e12
+                rec[1] += ev.occurrences if hasattr(ev, "occurrences") else 1
+    return dict(buckets), total, dict(ops)
 
 
 def sync(x):
@@ -144,7 +148,7 @@ def main():
                             video=True))
     wall = time.time() - t0
     jax.profiler.stop_trace()
-    buckets, total = parse_xplane(TRACE_DIR)
+    buckets, total, ops = parse_xplane(TRACE_DIR)
     print(json.dumps({
         "frames": FRAMES, "steps": STEPS,
         "wall_s": round(wall, 2),
@@ -154,6 +158,17 @@ def main():
                                 sorted(buckets.items(),
                                        key=lambda kv: -kv[1])},
     }, indent=1), flush=True)
+    # itemize: top ops per bucket so "layout/copies" etc. are attributable
+    per_bucket = defaultdict(list)
+    for name, (sec, cnt) in ops.items():
+        per_bucket[bucket_of(name)].append((sec, cnt, name))
+    for bk in ("layout/copies", "pallas_kernels", "convs",
+               "fusions(elementwise+)", "other"):
+        rows = sorted(per_bucket.get(bk, []), reverse=True)[:12]
+        print(f"--- top ops in {bk} (ms/step, count/trace):", flush=True)
+        for sec, cnt, name in rows:
+            print(f"  {sec / STEPS * 1e3:8.2f}  {cnt:6d}  {name[:120]}",
+                  flush=True)
 
 
 if __name__ == "__main__":
