@@ -48,6 +48,7 @@ def main(argv=None) -> None:
     p.add_argument("--deepcache_level", type=int, default=0)
     p.add_argument("--bank_every", type=int, default=1)
     p.add_argument("--bank_downsample", type=int, default=1)
+    p.add_argument("--self_kv_downsample", type=int, default=1)
     args = p.parse_args(argv)
 
     import jax
@@ -90,7 +91,8 @@ def main(argv=None) -> None:
                         deepcache_every=args.deepcache_every,
                         deepcache_level=args.deepcache_level,
                         bank_every=args.bank_every,
-                        bank_downsample=args.bank_downsample)
+                        bank_downsample=args.bank_downsample,
+                        self_kv_downsample=args.self_kv_downsample)
     rank = args.rank if args.rank is not None else jax.process_index()
     world = args.world if args.world is not None else jax.process_count()
     ds = TikTokEvalDataset(root=args.data, image_size=args.size,

@@ -83,6 +83,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "f x f before the read sites consume them (ToMe-"
                         "style KV reduction; cuts bank-read attention cost "
                         "at the pooled sites ~f^2)")
+    p.add_argument("--self_kv_downsample", type=int, default=1,
+                   help="average-pool SELF attention keys/values f x f at "
+                        "the largest self-attention sites (queries/outputs "
+                        "stay full resolution; static ToMe-style token "
+                        "reduction)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler (xplane) trace of the "
                         "sampling run into DIR (TensorBoard-loadable)")
@@ -175,6 +180,7 @@ def main(argv=None) -> None:
                         deepcache_every=args.deepcache_every,
                         bank_every=args.bank_every,
                         bank_downsample=args.bank_downsample,
+                        self_kv_downsample=args.self_kv_downsample,
                         deepcache_level=args.deepcache_level)
     os.makedirs(args.output, exist_ok=True)
     rng = jax.random.PRNGKey(args.seed)

@@ -260,6 +260,19 @@ class SampleConfig:
     # smaller sites stay exact. Cuts pooled-site bank KV ~f^2.
     bank_downsample: int = 1
     bank_downsample_min_seq: int = 4096
+    # self_kv_downsample=f (f>1): ToMe-style token reduction on the SELF
+    # keys/values of the main UNet's self-attention read sites — queries and
+    # outputs stay full resolution, only K/V are f x f average-pooled over
+    # the site's spatial grid (cf. Bolya & Hoffman 2023 token merging; the
+    # static-pool variant keeps every shape compile-time constant, the
+    # TPU-friendly formulation). Applies to sites with at least
+    # self_kv_min_seq tokens (default 4096 = the ds-1 sites); the appearance
+    # WRITE pass and cross/temporal attention stay exact. Composes with
+    # bank_downsample (the bank entries those sites read are pooled
+    # separately). Not supported with fused_cfg (which needs the gated
+    # bank_mask kernel).
+    self_kv_downsample: int = 1
+    self_kv_min_seq: int = 4096
 
 
 class FreezeRegime(str, enum.Enum):

@@ -76,6 +76,8 @@ class PoseControlNet(nn.Module):
         *,
         deterministic: bool = True,
         dtype: jnp.dtype = jnp.bfloat16,
+        self_kv_pool: int = 1,
+        self_kv_min_seq: int = 4096,
     ) -> Tuple[jax.Array, ...]:
         """x: (B, h, w, 4) noisy latent; hint: (B, 8h, 8w, 3) pose map in
         [0, 1]. Returns the 13-tuple of zero-conv residuals (fp32)."""
@@ -83,7 +85,7 @@ class PoseControlNet(nn.Module):
         ucfg = self._unet_cfg()
         if cfg.remat:
             RB = nn.remat(ResBlock)
-            ST = nn.remat(SpatialTransformer, static_argnums=(4,))
+            ST = nn.remat(SpatialTransformer, static_argnums=(4, 6))
         else:
             RB, ST = ResBlock, SpatialTransformer
         t_emb = timestep_embedding(timesteps, cfg.model_channels, dtype=dtype)
@@ -104,12 +106,17 @@ class PoseControlNet(nn.Module):
                     h, emb, deterministic=deterministic)
                 res_i += 1
                 if u["attn"]:
+                    # opt-in self-KV pooling mirrors the main UNet's sites
+                    # (SampleConfig.self_kv_downsample)
+                    kvp = (self_kv_pool if self_kv_pool > 1
+                           and h.shape[1] * h.shape[2] >= self_kv_min_seq
+                           else 1)
                     h, _ = ST(
                         num_heads=cfg.num_heads, head_dim=u["ch"] // cfg.num_heads,
                         depth=cfg.transformer_depth, dtype=dtype,
                         name=f"enc_attn_{attn_i}",
                     )(h, context.astype(dtype) if context is not None else None,
-                      None, False)
+                      None, False, None, kvp)
                     attn_i += 1
             else:
                 h = Downsample(u["ch"], dtype=dtype, name=f"enc_down_{down_i}")(h)
@@ -125,7 +132,7 @@ class PoseControlNet(nn.Module):
             num_heads=cfg.num_heads, head_dim=mid_ch // cfg.num_heads,
             depth=cfg.transformer_depth, dtype=dtype, name="mid_attn",
         )(h, context.astype(dtype) if context is not None else None,
-          None, False)
+          None, False, None, 1)
         h = RB(mid_ch, dtype=dtype, name="mid_res_1")(h, emb,
                                                             deterministic=deterministic)
         outs.append(conv1x1(mid_ch, dtype=dtype, name="zero_conv_mid", zero_init=True)(h))

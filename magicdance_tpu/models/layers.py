@@ -297,16 +297,36 @@ class BasicTransformerBlock(nn.Module):
         bank_entry: Optional[jax.Array] = None,
         collect: bool = False,
         bank_mask: Optional[jax.Array] = None,
+        kv_pool: int = 1,
+        hw: Optional[Tuple[int, int]] = None,
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        """kv_pool > 1 (opt-in turbo, SampleConfig.self_kv_downsample):
+        self-attention keys/values are average-pooled kv_pool x kv_pool over
+        the site's (hw) spatial grid — queries/outputs stay full resolution
+        (static-shape ToMe-style KV reduction). Exact when kv_pool == 1."""
         written = None
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="norm1")(
             x.astype(jnp.float32)
         ).astype(x.dtype)
         if collect:
             written = h
+        kv_self = None  # None -> K/V from h itself (exact)
+        if kv_pool > 1 and hw is not None:
+            assert bank_mask is None, "self-KV pooling + gated bank_mask unsupported"
+            hh, ww = hw
+            if hh % kv_pool == 0 and ww % kv_pool == 0:
+                b, s, c = h.shape
+                p = kv_pool
+                kv_self = (
+                    h.reshape(b, hh // p, p, ww // p, p, c)
+                    .astype(jnp.float32)
+                    .mean(axis=(2, 4))
+                    .reshape(b, (hh // p) * (ww // p), c)
+                    .astype(h.dtype)
+                )
         x = x + CrossAttention(
             num_heads=self.num_heads, head_dim=self.head_dim, dtype=self.dtype, name="attn1"
-        )(h, context=None, kv_extra=bank_entry, bank_mask=bank_mask)
+        )(h, context=kv_self, kv_extra=bank_entry, bank_mask=bank_mask)
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="norm2")(
             x.astype(jnp.float32)
@@ -339,6 +359,7 @@ class SpatialTransformer(nn.Module):
         bank_entries: Optional[Tuple[jax.Array, ...]] = None,
         collect: bool = False,
         bank_mask: Optional[jax.Array] = None,
+        kv_pool: int = 1,
     ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
         b, h, w, c = x.shape
         residual = x
@@ -354,7 +375,7 @@ class SpatialTransformer(nn.Module):
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(z, context, bank_entry=entry, collect=collect,
-              bank_mask=bank_mask)
+              bank_mask=bank_mask, kv_pool=kv_pool, hw=(h, w))
             if collect:
                 written.append(w_i)
         z = z.reshape(b, h, w, -1)

@@ -97,6 +97,8 @@ class MagicPoseModel(nn.Module):
         timesteps: jax.Array,
         context: jax.Array,
         deterministic: bool = True,
+        self_kv_pool: int = 1,
+        self_kv_min_seq: int = 4096,
     ) -> Tuple[jax.Array, ...]:
         """Run only the pose branch (ref cldm.py:736-757). Exposed so the
         sampler's turbo mode can refresh residuals every k-th step and feed
@@ -104,6 +106,7 @@ class MagicPoseModel(nn.Module):
         return self.pose_control(
             x_noisy, pose_hint, timesteps, context,
             deterministic=deterministic, dtype=self._dtype(),
+            self_kv_pool=self_kv_pool, self_kv_min_seq=self_kv_min_seq,
         )
 
     def compute_control_residuals(
@@ -114,6 +117,8 @@ class MagicPoseModel(nn.Module):
         context: jax.Array,
         image_hint: Optional[jax.Array] = None,
         deterministic: bool = True,
+        self_kv_pool: int = 1,
+        self_kv_min_seq: int = 4096,
     ) -> Optional[Tuple[jax.Array, ...]]:
         """All residual-style control branches summed positionally: pose
         ControlNet + (DUAL_CONTROL) image ControlNet (ref cldm.py:42-52
@@ -126,11 +131,13 @@ class MagicPoseModel(nn.Module):
             res = self.pose_control(
                 x_noisy, pose_hint, timesteps, context,
                 deterministic=deterministic, dtype=dtype,
+                self_kv_pool=self_kv_pool, self_kv_min_seq=self_kv_min_seq,
             )
         if self.cfg.has_image_control and image_hint is not None:
             ir = self.image_control_model(
                 x_noisy, image_hint, timesteps, context,
                 deterministic=deterministic, dtype=dtype,
+                self_kv_pool=self_kv_pool, self_kv_min_seq=self_kv_min_seq,
             )
             res = ir if res is None else tuple(
                 a + b for a, b in zip(res, ir))
@@ -154,6 +161,8 @@ class MagicPoseModel(nn.Module):
         collect_deep: bool = False,
         deep_cache_in: Optional[jax.Array] = None,
         deep_level: int = 0,
+        self_kv_pool: int = 1,
+        self_kv_min_seq: int = 4096,
     ):
         """eps/v prediction (ref cldm.py:1099-1117 apply_model).
 
@@ -183,7 +192,8 @@ class MagicPoseModel(nn.Module):
                 x_noisy, timesteps, context, num_frames=num_frames,
                 deterministic=deterministic, dtype=dtype,
                 collect_deep=collect_deep, deep_cache_in=deep_cache_in,
-                deep_level=deep_level,
+                deep_level=deep_level, self_kv_pool=self_kv_pool,
+                self_kv_min_seq=self_kv_min_seq,
             )
             if collect_deep:
                 out, _, deep = res
@@ -222,6 +232,7 @@ class MagicPoseModel(nn.Module):
             pose_residuals = self.compute_control_residuals(
                 x_noisy, pose_hint, timesteps, context,
                 image_hint=image_hint, deterministic=deterministic,
+                self_kv_pool=self_kv_pool, self_kv_min_seq=self_kv_min_seq,
             )
 
         res = self.unet(
@@ -229,7 +240,8 @@ class MagicPoseModel(nn.Module):
             bank=bank, pose_residuals=pose_residuals, num_frames=num_frames,
             deterministic=deterministic, dtype=dtype,
             collect_deep=collect_deep, deep_cache_in=deep_cache_in,
-            deep_level=deep_level,
+            deep_level=deep_level, self_kv_pool=self_kv_pool,
+            self_kv_min_seq=self_kv_min_seq,
         )
         if collect_deep:
             out, _, deep = res

@@ -165,6 +165,8 @@ class UNet(nn.Module):
         collect_deep: bool = False,
         deep_cache_in: Optional[jax.Array] = None,
         deep_level: int = 0,
+        self_kv_pool: int = 1,
+        self_kv_min_seq: int = 4096,
     ):
         """Returns (eps_prediction, bank_written), or
         (eps_prediction, bank_written, deep_feature) when collect_deep.
@@ -203,7 +205,9 @@ class UNet(nn.Module):
         # SD1.5-scale 512^2 training does not fit HBM without it
         if cfg.remat:
             RB = nn.remat(ResBlock)
-            ST = nn.remat(SpatialTransformer, static_argnums=(4,))
+            # static: collect (4) and kv_pool (6) — both steer Python-level
+            # structure inside the transformer
+            ST = nn.remat(SpatialTransformer, static_argnums=(4, 6))
             TT = nn.remat(TemporalTransformer)
         else:
             RB, ST, TT = ResBlock, SpatialTransformer, TemporalTransformer
@@ -232,6 +236,16 @@ class UNet(nn.Module):
             if bank_read is None:
                 return None
             return tuple(bank_read.pop(0) for _ in range(n))
+
+        def kv_pool_at(h: jax.Array) -> int:
+            """Static self-KV pool factor for the attention site at h's
+            resolution (opt-in turbo, SampleConfig.self_kv_downsample):
+            pools only read/plain sites with >= self_kv_min_seq tokens; the
+            appearance WRITE pass stays exact."""
+            if (self_kv_pool > 1 and not collect_bank
+                    and h.shape[1] * h.shape[2] >= self_kv_min_seq):
+                return self_kv_pool
+            return 1
 
         def motion(h, name):
             if not cfg.use_motion_modules:
@@ -280,7 +294,7 @@ class UNet(nn.Module):
                         depth=cfg.transformer_depth, dtype=dtype,
                         name=f"enc_attn_{attn_i}",
                     )(h, context, take_bank(cfg.transformer_depth),
-                      collect_bank, bank_mask=bank_mask)
+                      collect_bank, bank_mask, kv_pool_at(h))
                     attn_i += 1
                     bank_written.extend(written)
                 h = motion(h, f"enc_motion_{mm_i}")
@@ -300,7 +314,7 @@ class UNet(nn.Module):
                 num_heads=cfg.num_heads, head_dim=mid_ch // cfg.num_heads,
                 depth=cfg.transformer_depth, dtype=dtype, name="mid_attn",
             )(h, context, take_bank(cfg.transformer_depth), collect_bank,
-              bank_mask=bank_mask)
+              bank_mask, kv_pool_at(h))
             bank_written.extend(written)
             h = RB(mid_ch, dropout=cfg.dropout, dtype=dtype, name="mid_res_1")(
                 h, emb, deterministic=deterministic)
@@ -337,7 +351,7 @@ class UNet(nn.Module):
                     depth=cfg.transformer_depth, dtype=dtype,
                     name=u["name_attn"],
                 )(h, context, take_bank(cfg.transformer_depth),
-                  collect_bank, bank_mask=bank_mask)
+                  collect_bank, bank_mask, kv_pool_at(h))
                 bank_written.extend(written)
             h = motion(h, u["name_mm"])
             if u["upsample"]:

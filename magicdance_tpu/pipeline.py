@@ -237,13 +237,15 @@ class MagicPosePipeline:
                   "cfg_interval/uncond_every/bank_every do apply",
                   flush=True)
         decode_chunk = 8
-        key = (scfg.steps, scfg.cfg_scale, scfg.eta, scfg.wonoise,
-               scfg.shared_noise, F, latent, pose_maps is not None, use_ref,
-               decode, video, scfg.window, scfg.stride, scfg.fused_cfg,
-               scfg.control_mode, scfg.cfg_interval, scfg.uncond_every,
-               scfg.pose_every, scfg.deepcache_every, scfg.deepcache_level,
-               scfg.bank_every, scfg.bank_downsample,
-               scfg.bank_downsample_min_seq, image_hints is not None)
+        # memo key = EVERY SampleConfig field + the shape/presence statics.
+        # Derived from the whole dataclass so a new sampling flag can never
+        # silently alias an already-compiled program (round-4 bug: the
+        # hand-maintained field list missed self_kv_downsample and the
+        # "new" variant reused the exact program).
+        import dataclasses
+
+        key = (dataclasses.astuple(scfg), F, latent, pose_maps is not None,
+               use_ref, decode, video, image_hints is not None)
         if key not in self._jit_sample:
             def run(params, ids, uids, ref_image, pose_maps, image_hints,
                     rng):

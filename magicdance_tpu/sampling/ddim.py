@@ -209,6 +209,17 @@ def ddim_sample(
     ctx = tile_ctx(context)
     uctx = tile_ctx(uncond_context)
 
+    # opt-in self-KV token reduction (ToMe-style static pooling) on the main
+    # UNet's read/plain passes; the appearance write pass stays exact
+    if scfg.self_kv_downsample > 1:
+        assert not scfg.fused_cfg, (
+            "self_kv_downsample needs separate cond/uncond passes "
+            "(the gated bank_mask kernel has no pooled variant)")
+        kv_kw = dict(self_kv_pool=scfg.self_kv_downsample,
+                     self_kv_min_seq=scfg.self_kv_min_seq)
+    else:
+        kv_kw = {}
+
     ref_ctx = context[:1] if context is not None else None
 
     def to_eps(model_out, x, t):
@@ -258,7 +269,7 @@ def ddim_sample(
             eps_c = model.apply(
                 params, x, t, ctx,
                 bank=bank, pose_hint=pose_hint, image_hint=image_hint,
-                num_frames=num_frames,
+                num_frames=num_frames, **kv_kw,
             )
             eps_c = to_eps(eps_c, x, t)
             if use_cfg:
@@ -270,11 +281,11 @@ def ddim_sample(
                     eps_u = model.apply(
                         params, x, t, uctx,
                         bank=bank, pose_hint=pose_hint, image_hint=image_hint,
-                        num_frames=num_frames,
+                        num_frames=num_frames, **kv_kw,
                     )
                 else:  # "controlnet_important": vanilla SD uncond
                     eps_u = model.apply(params, x, t, uctx, uc=True,
-                                        num_frames=num_frames)
+                                        num_frames=num_frames, **kv_kw)
                 eps_u = to_eps(eps_u, x, t)
                 eps = eps_u + scfg.cfg_scale * (eps_c - eps_u)
             else:
@@ -405,7 +416,7 @@ def ddim_sample(
             def fresh_pose(_):
                 return model.apply(
                     params, x, pose_hint, t, ctx, image_hint=image_hint,
-                    method=model.compute_control_residuals,
+                    method=model.compute_control_residuals, **kv_kw,
                 )
 
             pose_res = jax.lax.cond(
@@ -422,7 +433,7 @@ def ddim_sample(
                     bank=bank, pose_hint=pose_hint, image_hint=image_hint,
                     num_frames=num_frames,
                     collect_deep=True, deep_level=scfg.deepcache_level,
-                    **pose_kw,
+                    **pose_kw, **kv_kw,
                 )
                 return e, d
 
@@ -432,7 +443,7 @@ def ddim_sample(
                     bank=bank, pose_hint=pose_hint, image_hint=image_hint,
                     num_frames=num_frames,
                     deep_cache_in=deep_prev, deep_level=scfg.deepcache_level,
-                    **pose_kw,
+                    **pose_kw, **kv_kw,
                 )
                 return e, deep_prev
 
@@ -447,7 +458,7 @@ def ddim_sample(
                     params, x, t, ctx,
                     bank=bank, pose_hint=pose_hint, image_hint=image_hint,
                     num_frames=num_frames,
-                    **pose_kw,
+                    **pose_kw, **kv_kw,
                 ),
                 x, t,
             )
@@ -459,7 +470,7 @@ def ddim_sample(
                         params, x, t, uctx,
                         bank=bank, pose_hint=pose_hint, image_hint=image_hint,
                         num_frames=num_frames,
-                        **pose_kw,
+                        **pose_kw, **kv_kw,
                     )
                     return to_eps(eu, x, t), deep_u_prev
                 if use_uncond_deepcache:
@@ -467,21 +478,23 @@ def ddim_sample(
                         e, d = model.apply(params, x, t, uctx, uc=True,
                                            num_frames=num_frames,
                                            collect_deep=True,
-                                           deep_level=scfg.deepcache_level)
+                                           deep_level=scfg.deepcache_level,
+                                           **kv_kw)
                         return e, d
 
                     def u_shallow(_):
                         e = model.apply(params, x, t, uctx, uc=True,
                                         num_frames=num_frames,
                                         deep_cache_in=deep_u_prev,
-                                        deep_level=scfg.deepcache_level)
+                                        deep_level=scfg.deepcache_level,
+                                        **kv_kw)
                         return e, deep_u_prev
 
                     eu, du = jax.lax.cond(udeep_refresh_arr[step], u_full,
                                           u_shallow, None)
                     return to_eps(eu, x, t), du
                 eu = model.apply(params, x, t, uctx, uc=True,
-                                 num_frames=num_frames)
+                                 num_frames=num_frames, **kv_kw)
                 return to_eps(eu, x, t), deep_u_prev
 
             eps_u, deep_u = jax.lax.cond(

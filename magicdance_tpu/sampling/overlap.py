@@ -70,6 +70,13 @@ def ddim_sample_video(
     and the window layout changes every step (the caller warns)."""
     F = x_T.shape[0]
     W = min(scfg.window, F)
+    # opt-in self-KV token reduction (see ddim.ddim_sample): applies to the
+    # spatial self-attention of the temporal UNet's read/plain passes
+    if scfg.self_kv_downsample > 1:
+        kv_kw = dict(self_kv_pool=scfg.self_kv_downsample,
+                     self_kv_min_seq=scfg.self_kv_min_seq)
+    else:
+        kv_kw = {}
     starts = jnp.asarray(window_starts(F, scfg.window, scfg.stride))
     n_win = starts.shape[0]
     S = ddim.num_steps
@@ -161,7 +168,7 @@ def ddim_sample_video(
         ihint_w = image_hint[flat_idx] if image_hint is not None else None
         eps_c = model.apply(params, xw, t, win_ctx, bank=bank,
                             pose_hint=hint_w, image_hint=ihint_w,
-                            num_frames=W)
+                            num_frames=W, **kv_kw)
         eps_c = to_eps(eps_c, xw, t)
 
         # scatter-average window predictions back to the frame axis
@@ -175,7 +182,7 @@ def ddim_sample_video(
         if not turbo:
             if use_cfg:
                 eps_u = model.apply(params, xw, t, win_uctx, uc=True,
-                                    num_frames=W)
+                                    num_frames=W, **kv_kw)
                 eps_u = to_eps(eps_u, xw, t)
                 eps = to_frames(eps_u + scfg.cfg_scale * (eps_c - eps_u))
             else:
@@ -187,7 +194,7 @@ def ddim_sample_video(
                 # per-step window rotation
                 def fresh_uncond(_):
                     eu = model.apply(params, xw, t, win_uctx, uc=True,
-                                     num_frames=W)
+                                     num_frames=W, **kv_kw)
                     return to_frames(to_eps(eu, xw, t))
 
                 eps_u_frames = jax.lax.cond(

@@ -98,7 +98,7 @@ for F in F_LIST:
             "mfu_pct": round(mfu * 100, 1) if mfu else None,
         }), flush=True)
     except Exception as e:
-        print(json.dumps({"frames_per_clip": F, "error": repr(e)[:200]}),
+        print(json.dumps({"frames_per_clip": F, "error": repr(e)[:1200]}),
               flush=True)
     del state
     trainer._jit_step = None

@@ -69,6 +69,24 @@ variants = {
                                           uncond_every=2,
                                           cfg_interval=(0.15, 0.85),
                                           bank_every=3, bank_downsample=2),
+    # round 4: self-KV token reduction (queries/outputs full res; SELF K/V
+    # 2x2 pooled at the 5 ds-1 sites of the main UNet + pose CN)
+    "self_kv2": SampleConfig(steps=STEPS, cfg_scale=7.0, self_kv_downsample=2),
+    "full_stack_r4": SampleConfig(steps=STEPS, cfg_scale=7.0,
+                                  deepcache_every=3, pose_every=3,
+                                  uncond_every=2, cfg_interval=(0.15, 0.85),
+                                  bank_every=3, bank_downsample=2,
+                                  self_kv_downsample=2),
+    # steps-vs-quality row: the standard DDIM-25 tradeoff every SD user
+    # already accepts (quality delta here is vs the DDIM-50 exact
+    # trajectory, so it bounds the schedule truncation error on this probe)
+    "ddim25": SampleConfig(steps=25, cfg_scale=7.0),
+    "ddim25_full_stack": SampleConfig(steps=25, cfg_scale=7.0,
+                                      deepcache_every=3, pose_every=3,
+                                      uncond_every=2,
+                                      cfg_interval=(0.15, 0.85),
+                                      bank_every=3, bank_downsample=2,
+                                      self_kv_downsample=2),
 }
 # optional subset: VARIANTS=exact,bank3,... ("exact" always runs first for
 # the comparison baseline)

@@ -35,6 +35,16 @@ variants = {
                                     stride=12, uncond_every=2,
                                     cfg_interval=(0.15, 0.85), bank_every=3,
                                     bank_downsample=2),
+    # round 4: + self-KV token reduction at the ds1 spatial sites (main UNet
+    # cond+uncond and pose CN) — attacks the 145+95 ms/step of ds1
+    # attention kernels in the video step profile
+    "video_turbo_selfkv": SampleConfig(steps=STEPS, cfg_scale=7.0, window=16,
+                                       stride=12, uncond_every=2,
+                                       cfg_interval=(0.15, 0.85), bank_every=3,
+                                       bank_downsample=2,
+                                       self_kv_downsample=2),
+    "video_exact_selfkv": SampleConfig(steps=STEPS, cfg_scale=7.0, window=16,
+                                       stride=12, self_kv_downsample=2),
 }
 _sel = os.environ.get("VARIANTS")
 if _sel:

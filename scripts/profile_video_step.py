@@ -37,12 +37,22 @@ TRACE_DIR = os.environ.get("TRACE_DIR", "/tmp/video_trace")
 
 
 def bucket_of(name: str) -> str:
-    n = name.lower()
+    """Bucket by the OP NAME (the `%op = ...` head), never the whole HLO
+    line: operand text routinely contains `copy-done`/`conv` substrings,
+    which round-3 misbucketed real convolutions into "layout/copies" and
+    GroupNorm `convert_reduce_fusion` stats into "convs" (round-4 fix —
+    the corrected breakdown is in BENCH.md)."""
+    import re
+
+    m = re.match(r"%([a-z_0-9.-]+)", name.lower())
+    n = m.group(1) if m else name.lower()
     if "scatter" in n or "gather" in n or "dynamic-update-slice" in n:
         return "scatter/gather(windows)"
-    if "custom-call" in n or "mosaic" in n or "tpu_custom_call" in n:
+    if "custom-call" in n or "mosaic" in n or "flash" in n:
         return "pallas_kernels"
-    if "convolution" in n or "conv" in n:
+    if "convert_reduce" in n or "reduce_fusion" in n:
+        return "norm_stats_reduces"
+    if "convolution" in n or n.startswith("conv"):
         return "convs"
     if "dot" in n or "gemm" in n or "matmul" in n:
         return "matmuls"

@@ -807,3 +807,73 @@ def test_bank_downsample_video():
                             reference_latent=ref, pose_hint=hint)
     assert out.shape == (F, 8, 8, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_self_kv_downsample_sampling():
+    """self_kv_downsample: factor 1 / too-high threshold are exactly exact;
+    factor 2 runs deterministic + finite through exact and turbo scans and
+    diverges from exact (static ToMe-style self-KV pooling)."""
+    cfg = tiny_cfg()
+    model, params = init_model(cfg, B=2)
+    sched = make_schedule(cfg.diffusion)
+    ddim = make_ddim_schedule(sched, 4)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 16))
+    ref = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 4))
+    hint = jax.random.uniform(jax.random.PRNGKey(4), (2, 64, 64, 3))
+
+    def run(scfg):
+        return np.asarray(ddim_sample(
+            model, params, sched, ddim, scfg, jax.random.PRNGKey(5),
+            x_T, ctx, jnp.zeros_like(ctx),
+            reference_latent=ref, pose_hint=hint))
+
+    exact = run(SampleConfig(steps=4, cfg_scale=7.0))
+    np.testing.assert_array_equal(
+        run(SampleConfig(steps=4, cfg_scale=7.0, self_kv_downsample=1)),
+        exact)
+    # threshold above the largest site (8x8=64 tokens): identity
+    np.testing.assert_array_equal(
+        run(SampleConfig(steps=4, cfg_scale=7.0, self_kv_downsample=2,
+                         self_kv_min_seq=4096)),
+        exact)
+
+    scfg = SampleConfig(steps=4, cfg_scale=7.0, self_kv_downsample=2,
+                        self_kv_min_seq=64)
+    o1, o2 = run(scfg), run(scfg)
+    assert np.isfinite(o1).all()
+    np.testing.assert_array_equal(o1, o2)
+    assert not np.allclose(o1, exact, atol=1e-4)
+
+    # composes with the full turbo stack (incl. pooled bank)
+    o3 = run(SampleConfig(steps=4, cfg_scale=7.0, self_kv_downsample=2,
+                          self_kv_min_seq=64, bank_downsample=2,
+                          bank_downsample_min_seq=64, bank_every=2,
+                          uncond_every=2, deepcache_every=2,
+                          cfg_interval=(0.1, 0.95)))
+    assert np.isfinite(o3).all()
+    # fused_cfg is rejected (gated bank_mask kernel has no pooled variant)
+    with pytest.raises(AssertionError):
+        run(SampleConfig(steps=4, cfg_scale=7.0, self_kv_downsample=2,
+                         self_kv_min_seq=64, fused_cfg=True))
+
+
+def test_self_kv_downsample_video():
+    """self_kv_downsample applies to the overlap-window video sampler."""
+    cfg = tiny_cfg(motion=True)
+    model, params = init_model(cfg, B=4)
+    sched = make_schedule(cfg.diffusion)
+    ddim = make_ddim_schedule(sched, 3)
+    F = 6
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (F, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 16))
+    ref = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 4))
+    hint = jax.random.uniform(jax.random.PRNGKey(4), (F, 64, 64, 3))
+    scfg = SampleConfig(steps=3, cfg_scale=7.0, window=4, stride=3,
+                        self_kv_downsample=2, self_kv_min_seq=64)
+    out = ddim_sample_video(model, params, sched, ddim, scfg,
+                            jax.random.PRNGKey(5), x_T, ctx,
+                            jnp.zeros_like(ctx),
+                            reference_latent=ref, pose_hint=hint)
+    assert out.shape == (F, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
