@@ -206,7 +206,7 @@ def main() -> None:
         try:
             turbo_modes = dict(deepcache_every=3, pose_every=3, uncond_every=2,
                                cfg_interval=(0.15, 0.85), bank_every=3,
-                               bank_downsample=2)
+                               bank_downsample=2, self_kv_downsample=2)
             tscfg = SampleConfig(steps=STEPS, cfg_scale=7.0, **turbo_modes)
             tcompile_s, trun_s = _timed_sample(pipe, pose, ref, tscfg, "turbo")
             detail["turbo_fps"] = round(FRAMES / trun_s, 4)
