@@ -199,6 +199,7 @@ class MagicPosePipeline:
         decode: bool = True,
         video: bool = False,
         image_hints: "Optional[jax.Array]" = None,
+        mesh: "Optional[jax.sharding.Mesh]" = None,
     ) -> jax.Array:
         """pose_maps: (F, H, W, 3) in [0,1] or None; reference_image:
         (1, H, W, 3) in [-1,1] or None; image_hints: (F, H, W, 3) in [0,1]
@@ -210,6 +211,12 @@ class MagicPosePipeline:
         `video=True` (temporal model variants) routes through overlap
         sampling: motion-module windows of scfg.window frames, stride
         scfg.stride.
+
+        mesh: optional 1-axis ``jax.sharding.Mesh`` (axis name "data") —
+        multi-chip frame-parallel serving. The image path shards x_T /
+        pose maps / decode over frames; the video path shards the overlap
+        windows per step (see ddim_sample_video.window_sharding). Weights
+        are replicated; outputs are exact vs the single-device run.
         """
         cfg = self.cfg
         if pose_maps is not None:
@@ -244,8 +251,16 @@ class MagicPosePipeline:
         # "new" variant reused the exact program).
         import dataclasses
 
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            frames_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        else:
+            frames_sharding = None
+
         key = (dataclasses.astuple(scfg), F, latent, pose_maps is not None,
-               use_ref, decode, video, image_hints is not None)
+               use_ref, decode, video, image_hints is not None,
+               frames_sharding)
         if key not in self._jit_sample:
             def run(params, ids, uids, ref_image, pose_maps, image_hints,
                     rng):
@@ -267,6 +282,12 @@ class MagicPosePipeline:
                     )
                 else:
                     x_T = jax.random.normal(rng_noise, (F, latent, latent, 4))
+                if frames_sharding is not None and not video:
+                    # image path: frames are the batch axis end to end
+                    x_T = jax.lax.with_sharding_constraint(x_T, frames_sharding)
+                    if pose_maps is not None:
+                        pose_maps = jax.lax.with_sharding_constraint(
+                            pose_maps, frames_sharding)
                 if video:
                     from magicdance_tpu.sampling.overlap import ddim_sample_video
 
@@ -276,6 +297,7 @@ class MagicPosePipeline:
                         reference_latent=ref_latent, pose_hint=pose_maps,
                         image_hint=image_hints,
                         parameterization=cfg.diffusion.parameterization,
+                        window_sharding=frames_sharding,
                     )
                 else:
                     lat = ddim_sample(

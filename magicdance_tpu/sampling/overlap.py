@@ -58,9 +58,22 @@ def ddim_sample_video(
     pose_hint: Optional[jax.Array] = None,
     image_hint: Optional[jax.Array] = None,
     parameterization: Parameterization = Parameterization.EPS,
+    window_sharding: Optional[jax.sharding.NamedSharding] = None,
 ) -> jax.Array:
     """x_T: (F, h, w, 4) for a video of F frames; windows of scfg.window
     frames are denoised jointly through the temporal UNet and averaged.
+
+    window_sharding: optional NamedSharding over the window-batch axis
+    (e.g. ``NamedSharding(mesh, P("data"))``) — the multi-chip serving
+    layout. Each DDIM step gathers windows from the (small, replicated)
+    frame-space latents, constrains the (n_win*W, h, w, 4) window batch to
+    the sharding so every temporal-UNet forward runs frame-parallel over
+    the mesh, and the scatter-average back to frame space becomes the one
+    cross-chip collective per step (XLA SPMD inserts the reduce). The
+    appearance bank stays replicated (batch 1, shared by all windows), so
+    no weight communication happens inside the scan at all. Exact: outputs
+    are bit-compatible with the single-device run (tested on the 8-device
+    CPU mesh, tests/test_sharded_inference.py).
 
     Turbo flags: `cfg_interval`, `uncond_every` and `bank_every` apply here
     too — the uncond eps is cached in FRAME space (scatter-averaged), so the
@@ -134,6 +147,8 @@ def ddim_sample_video(
         flat_idx = idx.reshape(-1)
 
         xw = x[flat_idx]  # (n_win*W, h, w, 4)
+        if window_sharding is not None:
+            xw = jax.lax.with_sharding_constraint(xw, window_sharding)
         t = jnp.full((xw.shape[0],), t_scalar, jnp.int32)
 
         bank = None
@@ -166,6 +181,14 @@ def ddim_sample_video(
 
         hint_w = pose_hint[flat_idx] if pose_hint is not None else None
         ihint_w = image_hint[flat_idx] if image_hint is not None else None
+        if window_sharding is not None:
+            # same rank (n_win*W, H, W, C): batch-axis spec, rest replicated
+            if hint_w is not None:
+                hint_w = jax.lax.with_sharding_constraint(hint_w,
+                                                          window_sharding)
+            if ihint_w is not None:
+                ihint_w = jax.lax.with_sharding_constraint(ihint_w,
+                                                           window_sharding)
         eps_c = model.apply(params, xw, t, win_ctx, bank=bank,
                             pose_hint=hint_w, image_hint=ihint_w,
                             num_frames=W, **kv_kw)
