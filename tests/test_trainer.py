@@ -46,6 +46,24 @@ def tiny_train_cfg(**kw):
     return TrainConfig(**base)
 
 
+@pytest.fixture(scope="module")
+def _built_once():
+    """One shared init for the whole module: `build` only depends on
+    cfg.model, which is identical across the module's TrainConfigs."""
+    return build(tiny_train_cfg())
+
+
+@pytest.fixture()
+def built(_built_once):
+    """Per-test COPIES of the shared trees: create_state's train leaves
+    alias the caller's buffers and the jitted step donates them, so a test
+    that steps would invalidate the module-shared tree otherwise. The copy
+    is milliseconds; the init it replaces is the expensive part."""
+    model, vae, clip, mp, vp, cp = _built_once
+    mp, vp, cp = jax.tree.map(jnp.copy, (mp, vp, cp))
+    return model, vae, clip, mp, vp, cp
+
+
 def build(cfg):
     model = MagicPoseModel(cfg.model)
     vae = AutoencoderKL(cfg.model.vae)
@@ -99,9 +117,9 @@ def test_trainable_predicate_regimes():
     assert not pred(("unet", "enc_res_0", "conv_in", "kernel"))
 
 
-def test_partition_roundtrip():
+def test_partition_roundtrip(built):
     cfg = tiny_train_cfg()
-    model, vae, clip, mp, vp, cp = build(cfg)
+    model, vae, clip, mp, vp, cp = built
     pred = trainable_predicate(cfg.freeze, cfg.sd_locked)
     train, frozen = partition_params(mp["params"], pred)
     assert train and frozen
@@ -113,9 +131,9 @@ def test_partition_roundtrip():
     assert all(k[0] != "unet" for k in train)
 
 
-def test_train_step_runs_and_freezes(rng):
+def test_train_step_runs_and_freezes(rng, built):
     cfg = tiny_train_cfg()
-    model, vae, clip, mp, vp, cp = build(cfg)
+    model, vae, clip, mp, vp, cp = built
     trainer = Trainer(cfg, model, vae, clip)
     state = trainer.create_state(mp, vp, cp)
     batch = make_batch()
@@ -137,9 +155,9 @@ def test_train_step_runs_and_freezes(rng):
     assert moved
 
 
-def test_zero1_opt_state_is_sharded():
+def test_zero1_opt_state_is_sharded(built):
     cfg = tiny_train_cfg()
-    model, vae, clip, mp, vp, cp = build(cfg)
+    model, vae, clip, mp, vp, cp = built
     trainer = Trainer(cfg, model, vae, clip)
     state = trainer.create_state(mp, vp, cp)
     sh = trainer.state_shardings(state)
@@ -152,10 +170,10 @@ def test_zero1_opt_state_is_sharded():
     assert all(s.spec == P() for s in jax.tree.leaves(sh.train_params))
 
 
-def test_grad_accum_steps():
+def test_grad_accum_steps(built):
     cfg = tiny_train_cfg(optim=OptimConfig(learning_rate=1e-3, warmup_steps=1,
                                            grad_accum=2))
-    model, vae, clip, mp, vp, cp = build(cfg)
+    model, vae, clip, mp, vp, cp = built
     trainer = Trainer(cfg, model, vae, clip)
     state = trainer.create_state(mp, vp, cp)
     batch = make_batch()
