@@ -98,7 +98,9 @@ for F in F_LIST:
             "mfu_pct": round(mfu * 100, 1) if mfu else None,
         }), flush=True)
     except Exception as e:
-        print(json.dumps({"frames_per_clip": F, "error": repr(e)[:1200]}),
+        # full text: the axon compile-helper's stderr rides in the HTTP 500
+        # body and the failure reason (e.g. OOM-kill) is at the END of it
+        print(json.dumps({"frames_per_clip": F, "error": repr(e)[:12000]}),
               flush=True)
     del state
     trainer._jit_step = None

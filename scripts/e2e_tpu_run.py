@@ -126,10 +126,17 @@ def main() -> None:
     ckpt_dir = os.path.join(OUT, "checkpoints")
 
     model_cfg = ModelConfig()  # flagship APPEARANCE_POSE, SD1.5 scale
+    # sd_locked=True (pose CN trainable, 361M): the sd_locked=False variant's
+    # backward graph OOM-kills the axon AOT compile helper on this host
+    # (SIGKILL during remote_compile, measured 2026-08-19); the pose CN still
+    # sees x_noisy+t+hint, so the loss has a trainable path to the eps target
+    # and must decrease. Ref stage 2 trains with sd_locked configurable
+    # (train_tiktok.py:798-817).
+    sd_locked = os.environ.get("E2E_SD_LOCKED", "1") == "1"
     cfg = TrainConfig(
         model=model_cfg,
         freeze=FreezeRegime.POSE_ONLY,
-        sd_locked=False,  # + UNet decoder/conv_out: loss can actually move
+        sd_locked=sd_locked,
         optim=OptimConfig(learning_rate=1e-4, warmup_steps=20),
         batch_size_per_device=BS,
         image_size=SIZE,
@@ -138,17 +145,32 @@ def main() -> None:
 
     pipe = MagicPosePipeline(model_cfg)
     pipe.fast_init_params(jax.random.PRNGKey(0), image_size=SIZE, scale=0.02)
-    init_params = jax.device_get(pipe.params)  # host copy for the probe
-    params = pipe.params
+    # move the f32 source tree to HOST before building the train state: both
+    # resident on a 16 GB v5e is exactly the round-1 "~356 s/step" HBM-thrash
+    # (BENCH.md Training) and at sd_locked=False it plainly OOMs
+    init_params = jax.device_get(pipe.params)
     pipe.params = None
+    import gc
+
+    gc.collect()
+    # spill the ~5.7 GB f32 host tree to disk until the deviation probe:
+    # the AOT compile helper is a sibling process on this host and the train
+    # step compile is its peak-RSS moment
+    import pickle
+
+    probe_path = os.path.join(OUT, "init_params.pkl")
+    with open(probe_path, "wb") as f:
+        pickle.dump({"pose_control": init_params["model"]["params"]["pose_control"],
+                     "unet": init_params["model"]["params"]["unet"]}, f)
 
     model = MagicPoseModel(model_cfg)
     vae = AutoencoderKL(model_cfg.vae)
     clip = CLIPTextEncoder(model_cfg.clip)
     trainer = Trainer(cfg, model, vae, clip)
-    state = trainer.create_state(params["model"], params["vae"],
-                                 params["clip"])
-    del params
+    state = trainer.create_state(init_params["model"], init_params["vae"],
+                                 init_params["clip"])
+    del init_params
+    gc.collect()
     n_train = sum(int(np.prod(p.shape))
                   for p in jax.tree.leaves(state.train_params))
     emit("init", trainable_params_M=round(n_train / 1e6, 1),
@@ -196,19 +218,24 @@ def main() -> None:
     # ---- 3. weight-deviation probe (ref train_tiktok.py:532-544) ----------
     final_model = merge_params(jax.device_get(state.train_params),
                                jax.device_get(state.frozen_params)["model"])
-    dev_pose = weight_deviation(init_params["model"]["params"]["pose_control"],
+    with open(probe_path, "rb") as f:
+        probe_init = pickle.load(f)
+    dev_pose = weight_deviation(probe_init["pose_control"],
                                 final_model["pose_control"])
-    # decoder moved (trained, sd_locked=False); encoder is frozen so its
-    # deviation is just the bf16 cast noise — report both as a sanity split
-    dev_dec = weight_deviation(init_params["model"]["params"]["unet"],
+    # pose CN moved (trained); UNet decoder moves only when sd_locked=False;
+    # the frozen parts' deviation is just bf16 cast noise — a sanity split
+    dev_dec = weight_deviation(probe_init["unet"],
                                final_model["unet"], keyword="dec_")
-    dev_enc = weight_deviation(init_params["model"]["params"]["unet"],
+    dev_enc = weight_deviation(probe_init["unet"],
                                final_model["unet"], keyword="enc_")
+    del probe_init
     emit("weight_deviation", pose_control=round(dev_pose, 6),
          unet_decoder=round(dev_dec, 6), unet_encoder_frozen=round(dev_enc, 6))
 
     # ---- 4. sample from the final checkpoint through the pipeline ---------
     frozen = jax.device_get(state.frozen_params)
+    del state  # free the train state BEFORE the serving tree lands on HBM
+    gc.collect()
     f32 = lambda t: jax.tree.map(  # noqa: E731
         lambda p: p.astype(np.float32) if p.dtype == jnp.bfloat16 else p, t)
     pipe.params = jax.device_put({
@@ -216,7 +243,6 @@ def main() -> None:
         "vae": {"params": f32(frozen["vae"])},
         "clip": {"params": f32(frozen["clip"])},
     })
-    del state
     pipe.cast_model_params(jnp.bfloat16)
 
     n_eval = 4
