@@ -69,7 +69,21 @@ def compute_paired_metrics(
       mae  — plain mean |a-b| with images in [0, 1]
       ssim — skimage defaults on the BT.601 grayscale channel (lines 62-67)
       psnr — 255-peak on full-color pixels (lines 12-19)
+
+    Scores are computed under matmul precision "highest" (see
+    get_all_eval_scores — backend-exact metric math).
     """
+    import jax
+    import jax.numpy as jnp
+
+    with jax.default_matmul_precision("highest"):
+        return _compute_paired_metrics(gen_dir, gt_dir, types, lpips_weights)
+
+
+def _compute_paired_metrics(
+    gen_dir: str, gt_dir: str, types: list[str],
+    lpips_weights: Optional[str] = None,
+) -> dict:
     import jax.numpy as jnp
 
     from magicdance_tpu.metrics.core import l1_error, psnr, ssim
@@ -133,7 +147,25 @@ def get_all_eval_scores(
     sample_frames: int = 0,
 ) -> dict:
     """Walk `{root}/{seq}/{gen_images,gt_images}` trees (flat folders also
-    accepted) and aggregate (ref metric_center.py:678)."""
+    accepted) and aggregate (ref metric_center.py:678).
+
+    Runs under matmul precision "highest": metric scores must be exact f32
+    regardless of backend — the TPU's default conv/matmul precision is
+    bf16-input, which breaks SSIM outright (see core._uniform_filter) and
+    would silently perturb the FID/FVD/LPIPS feature extractors vs the
+    fp32 CUDA reference."""
+    import jax
+
+    with jax.default_matmul_precision("highest"):
+        return _get_all_eval_scores(
+            root, types, gen_name, gt_name, lpips_weights,
+            inception_weights, i3d_weights, resnet3d_weights, sample_frames)
+
+
+def _get_all_eval_scores(
+    root, types, gen_name, gt_name, lpips_weights,
+    inception_weights, i3d_weights, resnet3d_weights, sample_frames,
+) -> dict:
     seqs = []
     if os.path.isdir(os.path.join(root, gen_name)):
         seqs = [root]

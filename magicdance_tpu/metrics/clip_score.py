@@ -153,7 +153,11 @@ class CLIPScorer:
         self._embed = jax.jit(self.vision.apply)
 
     def embed_images(self, imgs: np.ndarray) -> np.ndarray:
-        e = np.asarray(self._embed(self.params, jnp.asarray(imgs)))
+        # precision "highest" at trace time: the TPU default would run the
+        # ViT's convs/matmuls with bf16 inputs, perturbing scores vs the
+        # fp32 CUDA reference (ref tool/ClipScore.py runs fp32)
+        with jax.default_matmul_precision("highest"):
+            e = np.asarray(self._embed(self.params, jnp.asarray(imgs)))
         return e / np.linalg.norm(e, axis=-1, keepdims=True)
 
     def image_similarity(self, folder_a: str, folder_b: str,

@@ -33,7 +33,14 @@ def psnr(a: jax.Array, b: jax.Array, data_range: float = 1.0) -> jax.Array:
 
 
 def _uniform_filter(x: jax.Array, win: int) -> jax.Array:
-    """win x win mean filter, valid padding. x: (B, H, W, C)."""
+    """win x win mean filter, valid padding. x: (B, H, W, C).
+
+    precision=HIGHEST is load-bearing: the TPU backend's DEFAULT conv
+    precision casts inputs to bf16, and SSIM's `uxx - ux*ux` variance
+    cancellation then goes negative on near-constant windows — observed as
+    per-pixel SSIM values of +-1e4 and a folder score of 1.26 (> the
+    mathematical bound of 1). Window statistics must be exact f32 on every
+    backend."""
     k = jnp.ones((win, win, 1, 1), x.dtype) / (win * win)
     c = x.shape[-1]
     kern = jnp.tile(k, (1, 1, 1, c))
@@ -41,6 +48,7 @@ def _uniform_filter(x: jax.Array, win: int) -> jax.Array:
         x, kern, window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

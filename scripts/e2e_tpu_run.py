@@ -205,7 +205,13 @@ def main() -> None:
     train_wall = time.time() - tc
 
     # ---- 2. resume from the mid-run checkpoint ----------------------------
-    restored = mgr.restore(mid, target=jax.device_get(state))
+    # spill the live train state to HOST first: the restored copy and the
+    # live one both resident on a 16 GB v5e is exactly the RESOURCE_EXHAUSTED
+    # that killed the first r4 run at this line
+    host_state = jax.device_get(state)
+    del state
+    gc.collect()
+    restored = mgr.restore(mid, target=host_state)
     assert int(restored.step) == mid, (int(restored.step), mid)
     r_state = jax.device_put(restored)
     r_state, metrics = step_fn(r_state, batch0, jax.random.PRNGKey(7))
@@ -214,10 +220,11 @@ def main() -> None:
     assert int(r_state.step) == mid + 1
     emit("resume", from_step=mid, loss_after_resume=round(r_loss, 4))
     del r_state, restored
+    gc.collect()
 
     # ---- 3. weight-deviation probe (ref train_tiktok.py:532-544) ----------
-    final_model = merge_params(jax.device_get(state.train_params),
-                               jax.device_get(state.frozen_params)["model"])
+    final_model = merge_params(host_state.train_params,
+                               host_state.frozen_params["model"])
     with open(probe_path, "rb") as f:
         probe_init = pickle.load(f)
     dev_pose = weight_deviation(probe_init["pose_control"],
@@ -233,8 +240,8 @@ def main() -> None:
          unet_decoder=round(dev_dec, 6), unet_encoder_frozen=round(dev_enc, 6))
 
     # ---- 4. sample from the final checkpoint through the pipeline ---------
-    frozen = jax.device_get(state.frozen_params)
-    del state  # free the train state BEFORE the serving tree lands on HBM
+    frozen = host_state.frozen_params
+    del host_state  # free the host train state (device is already clear)
     gc.collect()
     f32 = lambda t: jax.tree.map(  # noqa: E731
         lambda p: p.astype(np.float32) if p.dtype == jnp.bfloat16 else p, t)

@@ -199,6 +199,33 @@ def test_ssim_golden_vs_scipy_oracle():
     assert ours == pytest.approx(ref, abs=1e-5)
 
 
+def test_ssim_stats_pin_highest_precision():
+    """The TPU backend's DEFAULT conv precision casts inputs to bf16; SSIM's
+    `uxx - ux*ux` cancellation then goes negative on near-constant windows
+    and per-pixel scores explode (observed: folder SSIM 1.26 > the
+    mathematical bound 1.0 on the e2e run's near-constant gen images).
+    CPU ignores the precision request, so the guard is structural: the
+    window-statistics conv must carry HIGHEST precision, overriding any
+    backend/context default."""
+    import jax
+    import jax.numpy as jnp
+
+    from magicdance_tpu.metrics.core import _uniform_filter, ssim
+
+    x = jnp.zeros((1, 16, 16, 1), jnp.float32)
+    jaxpr = str(jax.make_jaxpr(lambda a: _uniform_filter(a, 7))(x))
+    assert "HIGHEST" in jaxpr, jaxpr
+
+    # and the bound holds on the exact failure shape: near-constant gen vs
+    # structured gt (regardless of backend)
+    rng = np.random.RandomState(0)
+    gen = jnp.asarray(
+        0.5 + rng.rand(1, 64, 64, 1) * 0.02, jnp.float32)
+    gt = jnp.asarray(rng.rand(1, 64, 64, 1), jnp.float32)
+    v = float(ssim(gen, gt))
+    assert -1.0 <= v <= 1.0, v
+
+
 def test_paired_metrics_disco_conventions(tmp_path):
     """compute_paired_metrics reproduces the reference's formulas end-to-end:
     l1 = mean|a-b| / (H*W) on 0-255 (ssim_l1_lpips_psnr.py:31-34), psnr with
