@@ -102,5 +102,8 @@ for F in F_LIST:
         # body and the failure reason (e.g. OOM-kill) is at the END of it
         print(json.dumps({"frames_per_clip": F, "error": repr(e)[:12000]}),
               flush=True)
-    del state
+    # free EVERYTHING device-resident before the next F: new_state/metrics
+    # from the measured steps hold a full ~11 GB train state — leaking them
+    # OOMed the next leg's create_state (round-4 r4d run, F=8 after F=16)
+    state = new_state = metrics = step = None
     trainer._jit_step = None
