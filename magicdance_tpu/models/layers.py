@@ -36,6 +36,15 @@ def nonlinearity(x: jax.Array) -> jax.Array:
     return nn.silu(x)
 
 
+def _gn_stats_channel_first() -> bool:
+    """Env gate for the channel-first GroupNorm stats formulation
+    (``MAGICDANCE_GN_STATS=channel``). Off by default until the end-to-end
+    A/B lands (BENCH.md)."""
+    import os
+
+    return os.environ.get("MAGICDANCE_GN_STATS", "") == "channel"
+
+
 class _GNParams(nn.Module):
     """Scale/bias holder matching nn.GroupNorm's param layout (so the
     checkpoint tree is identical whichever compute path runs)."""
@@ -91,6 +100,32 @@ class GroupNorm32(nn.Module):
 
             return groupnorm_silu(x, scale, bias, groups=groups,
                                   eps=self.epsilon)
+
+        if x.ndim == 4 and _gn_stats_channel_first():
+            # Channel-first stats in plain XLA (no custom-call fusion
+            # barrier): per-channel sum/sumsq over (H, W) with all C lanes
+            # live, then a tiny (B, C)->(B, G) combine. flax's GroupNorm
+            # reshapes to (..., HW, G, C/G) and reduces with only C/G = 10
+            # lanes live at the UNet's ds1 shape — the `convert_reduce_
+            # fusion` bucket the round-4 video profile measured at ~146 GB/s
+            # (~5x off streaming). Same fp32 fast-variance numerics, same
+            # "norm" param tree. Measured: scripts/bench_gn_stats.py +
+            # video/image end-to-end A/B in BENCH.md.
+            scale, bias = _GNParams(name="norm")(c)
+            b, hh, ww, _ = x.shape
+            gsz = c // groups
+            xf = x.astype(jnp.float32)
+            s1 = jnp.sum(xf, axis=(1, 2))       # (B, C)
+            s2 = jnp.sum(xf * xf, axis=(1, 2))  # (B, C)
+            n = hh * ww * gsz
+            mean_g = s1.reshape(b, groups, gsz).sum(-1) / n
+            ex2_g = s2.reshape(b, groups, gsz).sum(-1) / n
+            inv_g = jax.lax.rsqrt(ex2_g - mean_g * mean_g + self.epsilon)
+            mean_c = jnp.repeat(mean_g, gsz, axis=-1)[:, None, None, :]
+            inv_c = jnp.repeat(inv_g, gsz, axis=-1)[:, None, None, :]
+            h = (xf - mean_c) * (inv_c * scale) + bias
+            h = h.astype(orig_dtype)
+            return nonlinearity(h) if self.act else h
 
         h = nn.GroupNorm(
             num_groups=groups,

@@ -189,3 +189,38 @@ def test_weight_deviation():
     assert weight_deviation(a, a) == 0.0
     # no intersecting keys
     assert weight_deviation(a, b, "nope") == 0.0
+
+
+def test_groupnorm_channel_first_stats_match(monkeypatch):
+    """MAGICDANCE_GN_STATS=channel computes the SAME GroupNorm32 as the flax
+    default (fp32 fast-variance over groups), just with a lane-friendly
+    reduction layout — outputs must agree to fp32 roundoff and the param
+    tree must be identical."""
+    from magicdance_tpu.models.layers import GroupNorm32
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 64),
+                          jnp.bfloat16) * 3 + 1.5
+    mod = GroupNorm32(num_groups=32, act=True)
+    params = mod.init(jax.random.PRNGKey(1), x)
+    # non-trivial affine so the scale/bias path is exercised
+    params = jax.tree.map(
+        lambda p: p + 0.3 if p.ndim == 1 else p, params)
+
+    monkeypatch.delenv("MAGICDANCE_GN_STATS", raising=False)
+    ref = mod.apply(params, x)
+    monkeypatch.setenv("MAGICDANCE_GN_STATS", "channel")
+    params2 = mod.init(jax.random.PRNGKey(1), x)
+    assert jax.tree.structure(params) == jax.tree.structure(params2)
+    out = mod.apply(params, x)
+
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-2, rtol=0)  # bf16 output quantum
+    # and in fp32 activations the two formulations agree tightly
+    xf = x.astype(jnp.float32)
+    monkeypatch.setenv("MAGICDANCE_GN_STATS", "channel")
+    out32 = mod.apply(params, xf)
+    monkeypatch.delenv("MAGICDANCE_GN_STATS")
+    ref32 = mod.apply(params, xf)
+    np.testing.assert_allclose(np.asarray(out32), np.asarray(ref32),
+                               atol=1e-4, rtol=1e-4)
