@@ -38,8 +38,12 @@ def nonlinearity(x: jax.Array) -> jax.Array:
 
 def _gn_stats_channel_first() -> bool:
     """Env gate for the channel-first GroupNorm stats formulation
-    (``MAGICDANCE_GN_STATS=channel``). Off by default until the end-to-end
-    A/B lands (BENCH.md)."""
+    (``MAGICDANCE_GN_STATS=channel``). Measured and REJECTED on the real
+    chip (scripts/bench_gn_stats.py, BENCH.md "What was tried"): 0.47x at
+    the dominant ds1 shape — the extra full-width fp32 products and the
+    per-group->per-channel broadcast cost more HBM traffic than the lane
+    utilization recovers. Kept off-by-default for re-evaluation on future
+    toolchains; numerics are identical to the flax path."""
     import os
 
     return os.environ.get("MAGICDANCE_GN_STATS", "") == "channel"
@@ -109,8 +113,8 @@ class GroupNorm32(nn.Module):
             # lanes live at the UNet's ds1 shape — the `convert_reduce_
             # fusion` bucket the round-4 video profile measured at ~146 GB/s
             # (~5x off streaming). Same fp32 fast-variance numerics, same
-            # "norm" param tree. Measured: scripts/bench_gn_stats.py +
-            # video/image end-to-end A/B in BENCH.md.
+            # "norm" param tree. Measured isolated (scripts/bench_gn_stats.py)
+            # and REJECTED: 0.47x at ds1 — see BENCH.md "What was tried".
             scale, bias = _GNParams(name="norm")(c)
             b, hh, ww, _ = x.shape
             gsz = c // groups
