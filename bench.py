@@ -102,6 +102,18 @@ def main() -> None:
     pose = jax.random.uniform(jax.random.PRNGKey(1), (FRAMES, SIZE, SIZE, 3))
     ref = jax.random.uniform(jax.random.PRNGKey(2), (1, SIZE, SIZE, 3)) * 2 - 1
 
+    # ---- kernel parity gate (before ANY timing): every Pallas kernel, fwd
+    # and bwd, vs XLA math ON THIS CHIP — a miscompiled kernel must fail the
+    # round, not set a fast-but-wrong record (VERDICT r4 item 7)
+    kernel_parity = "skipped (non-tpu backend)"
+    if jax.default_backend() == "tpu":
+        from magicdance_tpu.ops.kernel_gate import run_gate
+
+        t0 = time.time()
+        kernel_parity = run_gate()  # raises AssertionError on mismatch
+        print(f"[bench] kernel parity gate: {kernel_parity} "
+              f"({time.time() - t0:.1f}s)", file=sys.stderr, flush=True)
+
     # ---- headline: EXACT reference-parity recipe -------------------------
     scfg = SampleConfig(steps=STEPS, cfg_scale=7.0)
     compile_s, run_s = _timed_sample(pipe, pose, ref, scfg, "exact")
@@ -131,6 +143,7 @@ def main() -> None:
         "vs_exact_ceiling": round(fps / exact_ceiling_fps, 4),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
+        "kernel_parity": kernel_parity,
     }
 
     def _budget_left(tag: str) -> bool:

@@ -346,6 +346,12 @@ class TrainConfig:
     output_dir: str = "runs/default"
     resume: bool = True
     mesh_axes: tuple[str, ...] = ("data",)
+    # attention implementation inside the train step: "auto" dispatches the
+    # hot self-attention shapes to the Pallas flash kernels (forward AND
+    # backward via their custom VJPs, ops/pallas/flash_vjp.py) — nothing S×S
+    # ever reaches HBM, which is what lets 512² stage-3 fit one chip; "xla"
+    # is the plain einsum path (fp32 logits materialized, remat-able)
+    attention_impl: str = "auto"
 
 
 def _to_tuple(x: Any) -> Any:

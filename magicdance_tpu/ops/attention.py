@@ -22,9 +22,10 @@ import jax
 import jax.numpy as jnp
 
 # Global attention-impl override. "auto" picks Pallas flash kernels on TPU
-# for the big self-attention shapes; training code forces "xla" (the Pallas
-# kernels are forward-only — the XLA path is differentiable and XLA remats
-# it under jax.checkpoint).
+# for the big self-attention shapes, in serving AND training: the kernels
+# carry custom VJPs (ops/pallas/flash_vjp.py — flash-attention backward
+# recomputation), so gradients flow without materializing S×S logits.
+# "xla" remains as the reference einsum path.
 _IMPL_OVERRIDE: contextvars.ContextVar[str] = contextvars.ContextVar(
     "attention_impl", default="auto"
 )

@@ -184,7 +184,7 @@ def _from_bhsd(x, b, h):
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))
-def flash_attention(q, k, v, *, scale: float):
+def _flash_attention_impl(q, k, v, *, scale: float):
     """q/k/v: (B, S, H, D) bf16/f32 → (B, Sq, H, D)."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
@@ -212,8 +212,8 @@ def flash_attention(q, k, v, *, scale: float):
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))
-def flash_attention_two_source(q, k_self, v_self, k_bank, v_bank, *,
-                               scale: float, bank_mask=None):
+def _flash_attention_two_source_impl(q, k_self, v_self, k_bank, v_bank, *,
+                                     scale: float, bank_mask=None):
     """Bank-read attention; k_bank/v_bank batch ∈ {1, B} (broadcast via
     index map, never materialized per-frame). Optional bank_mask (B,) float:
     rows with 0 ignore the bank entirely (exactly plain self-attention) —
@@ -341,7 +341,7 @@ def _attn2_kernel_fused(q_ref, k_ref, v_ref, kb_ref, vb_ref, o_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "num_heads"))
-def flash_attention_fused(q, k, v, *, scale: float, num_heads: int):
+def _flash_attention_fused_impl(q, k, v, *, scale: float, num_heads: int):
     """q/k/v: (B, S, H*D) — no head split on the host."""
     b, sq, hd_all = q.shape
     sk = k.shape[1]
@@ -396,7 +396,7 @@ def _grouped_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "num_heads"))
-def flash_attention_grouped(q, k, v, *, scale: float, num_heads: int):
+def _flash_attention_grouped_impl(q, k, v, *, scale: float, num_heads: int):
     """Self-attention for SHORT sequences in packed layout — the temporal
     (motion-module) shape (B·hw, F=16, H*D) and the ds8 spatial shape
     (B, 64, H*D).
@@ -442,8 +442,8 @@ def flash_attention_grouped(q, k, v, *, scale: float, num_heads: int):
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "num_heads"))
-def flash_attention_two_source_fused(q, k_self, v_self, k_bank, v_bank, *,
-                                     scale: float, num_heads: int):
+def _flash_attention_two_source_fused_impl(q, k_self, v_self, k_bank, v_bank,
+                                           *, scale: float, num_heads: int):
     """Fused-layout bank-read attention; bank batch ∈ {1, B}."""
     b, sq, hd_all = q.shape
     sk = k_self.shape[1]
@@ -468,3 +468,61 @@ def flash_attention_two_source_fused(q, k_self, v_self, k_bank, v_bank, *,
         out_specs=qspec,
         compiler_params=_COMPILER_PARAMS,
     )(q, k_self, v_self, k_bank, v_bank)
+
+
+# ---------------------------------------------------------------------------
+# public entry points: differentiable wrappers. The primal (no-gradient)
+# path runs the fast kernels above unchanged; under jax.grad the custom VJPs
+# in `flash_vjp` kick in — forward-with-lse + flash backward kernels, so the
+# S×S logits never reach HBM in either direction (the reference trains
+# through xformers memory_efficient_attention fwd AND bwd,
+# ref attention.py:202-250). The gated (bank_mask) two-source variant is a
+# serving-only CFG construct and stays forward-only.
+# ---------------------------------------------------------------------------
+
+
+def flash_attention(q, k, v, *, scale: float):
+    """q/k/v: (B, S, H, D) → (B, Sq, H, D). Differentiable."""
+    from magicdance_tpu.ops.pallas import flash_vjp
+
+    return flash_vjp.mha(q, k, v, scale)
+
+
+def flash_attention_two_source(q, k_self, v_self, k_bank, v_bank, *,
+                               scale: float, bank_mask=None):
+    """Bank-read attention (BSNH). Differentiable when bank_mask is None."""
+    if bank_mask is not None:
+        return _flash_attention_two_source_impl(
+            q, k_self, v_self, k_bank, v_bank, scale=scale,
+            bank_mask=bank_mask)
+    from magicdance_tpu.ops.pallas import flash_vjp
+
+    return flash_vjp.mha_two_source(q, k_self, v_self, k_bank, v_bank, scale)
+
+
+def flash_attention_fused(q, k, v, *, scale: float, num_heads: int):
+    """Packed-layout (B, S, H*D) attention. Differentiable."""
+    from magicdance_tpu.ops.pallas import flash_vjp
+
+    return flash_vjp.mha_packed(q, k, v, scale, num_heads)
+
+
+def flash_attention_two_source_fused(q, k_self, v_self, k_bank, v_bank, *,
+                                     scale: float, num_heads: int):
+    """Packed-layout bank-read attention (ungated). Differentiable."""
+    from magicdance_tpu.ops.pallas import flash_vjp
+
+    return flash_vjp.mha_two_source_packed(
+        q, k_self, v_self, k_bank, v_bank, scale, num_heads)
+
+
+def flash_attention_grouped(q, k, v, *, scale: float, num_heads: int):
+    """Block-diagonal short-sequence attention (S | 128). Differentiable."""
+    b, s, c = q.shape
+    if 128 % s != 0 or (b * s) % 128 != 0:
+        raise ValueError(
+            f"flash_attention_grouped needs S | 128 and 128 | B*S, got "
+            f"B={b}, S={s}")
+    from magicdance_tpu.ops.pallas import flash_vjp
+
+    return flash_vjp.mha_grouped(q, k, v, scale, num_heads)

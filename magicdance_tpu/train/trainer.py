@@ -222,9 +222,7 @@ class Trainer:
 
         rng_vae, rng_ref, rng_loss = jax.random.split(rng, 3)
 
-        # frozen feature extractors — no grads flow through them, so the
-        # forward-only Pallas attention kernels are safe here even though the
-        # loss itself is traced under attention_impl("xla")
+        # frozen feature extractors — no grads flow through them
         from magicdance_tpu.ops.attention import attention_impl
 
         with attention_impl("auto"):
@@ -262,7 +260,10 @@ class Trainer:
     def train_step(self, state: TrainState, batch: dict, rng: jax.Array):
         from magicdance_tpu.ops.attention import attention_impl
 
-        with attention_impl("xla"):  # Pallas kernels are forward-only
+        # "auto" trains through the Pallas flash kernels (fwd + custom-VJP
+        # bwd, ops/pallas/flash_vjp.py) — no S×S logits in HBM in either
+        # direction, the thing that previously compile-OOM'd 512² stage-3
+        with attention_impl(self.cfg.attention_impl):
             (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
                 state.train_params, state.frozen_params, batch, rng
             )

@@ -224,3 +224,125 @@ def test_grouped_dispatch_conditions():
     # off-TPU (this CPU test env): XLA
     assert attn_mod._pick_impl_packed(16, 16, 40, bank=False, has_mask=False,
                                       batch=8192) == "xla"
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP gradient parity (round 5): the flash kernels are differentiable
+# — grads must match the XLA einsum path's autodiff to fp32 tolerance.
+# Interpret mode on CPU; the on-chip gate lives in scripts/bench_kernel_gate
+# (run by bench.py before timing).
+# ---------------------------------------------------------------------------
+
+
+def _grads(fn, args):
+    loss = lambda *a: jnp.sum(jnp.sin(fn(*a)))  # nonlinear reduce
+    return jax.grad(loss, argnums=tuple(range(len(args))))(*args)
+
+
+@pytest.mark.parametrize("s,d", [(128, 32), (64, 40)])
+def test_flash_grads_match_xla(s, d):
+    b, h = 2, 2
+    q = _rand((b, s, h, d), 0)
+    k = _rand((b, s, h, d), 1)
+    v = _rand((b, s, h, d), 2)
+    scale = d**-0.5
+    ref = _grads(lambda q, k, v: _xla_attention(q, k, v, scale), (q, k, v))
+    with pltpu.force_tpu_interpret_mode():
+        out = _grads(lambda q, k, v: flash_attention(q, k, v, scale=scale),
+                     (q, k, v))
+    for g, r in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("bb", [None, 1])
+def test_flash_two_source_grads_match_xla(bb):
+    b, h, s, sb, d = 2, 2, 64, 32, 32
+    bank_b = bb or b
+    q = _rand((b, s, h, d), 0)
+    k = _rand((b, s, h, d), 1)
+    v = _rand((b, s, h, d), 2)
+    kb = _rand((bank_b, sb, h, d), 3)
+    vb = _rand((bank_b, sb, h, d), 4)
+    scale = d**-0.5
+    args = (q, k, v, kb, vb)
+    ref = _grads(lambda *a: bank_read_attention(*a, scale=scale, impl="xla"),
+                 args)
+    with pltpu.force_tpu_interpret_mode():
+        out = _grads(
+            lambda *a: flash_attention_two_source(*a, scale=scale), args)
+    for g, r in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_fused_packed_grads_match_xla():
+    from magicdance_tpu.ops.pallas.flash import (
+        flash_attention_fused,
+        flash_attention_two_source_fused,
+    )
+
+    b, s, sb, h, d = 2, 64, 64, 2, 32
+    q = _rand((b, s, h * d), 20)
+    k = _rand((b, s, h * d), 21)
+    v = _rand((b, s, h * d), 22)
+    kb = _rand((1, sb, h * d), 23)
+    vb = _rand((1, sb, h * d), 24)
+    scale = d**-0.5
+
+    def xla_plain(q, k, v):
+        out = _xla_attention(q.reshape(b, s, h, d), k.reshape(b, s, h, d),
+                             v.reshape(b, s, h, d), scale)
+        return out.reshape(b, s, h * d)
+
+    ref = _grads(xla_plain, (q, k, v))
+    with pltpu.force_tpu_interpret_mode():
+        out = _grads(
+            lambda q, k, v: flash_attention_fused(q, k, v, scale=scale,
+                                                  num_heads=h), (q, k, v))
+    for g, r in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=2e-4, rtol=2e-4)
+
+    def xla_bank(q, k, v, kb, vb):
+        out = bank_read_attention(
+            q.reshape(b, s, h, d), k.reshape(b, s, h, d),
+            v.reshape(b, s, h, d), kb.reshape(1, sb, h, d),
+            vb.reshape(1, sb, h, d), scale=scale, impl="xla")
+        return out.reshape(b, s, h * d)
+
+    ref2 = _grads(xla_bank, (q, k, v, kb, vb))
+    with pltpu.force_tpu_interpret_mode():
+        out2 = _grads(
+            lambda *a: flash_attention_two_source_fused(
+                *a, scale=scale, num_heads=h), (q, k, v, kb, vb))
+    for g, r in zip(out2, ref2):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("b,s,h,d", [
+    (16, 16, 4, 8),   # temporal shape
+    (8, 16, 2, 40),   # SD1.5 head dim
+])
+def test_grouped_grads_match_xla(b, s, h, d):
+    from magicdance_tpu.ops.pallas.flash import flash_attention_grouped
+
+    q = _rand((b, s, h * d), 30)
+    k = _rand((b, s, h * d), 31)
+    v = _rand((b, s, h * d), 32)
+    scale = d**-0.5
+
+    def xla(q, k, v):
+        out = _xla_attention(q.reshape(b, s, h, d), k.reshape(b, s, h, d),
+                             v.reshape(b, s, h, d), scale)
+        return out.reshape(b, s, h * d)
+
+    ref = _grads(xla, (q, k, v))
+    with pltpu.force_tpu_interpret_mode():
+        out = _grads(
+            lambda q, k, v: flash_attention_grouped(q, k, v, scale=scale,
+                                                    num_heads=h), (q, k, v))
+    for g, r in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=2e-4, rtol=2e-4)
