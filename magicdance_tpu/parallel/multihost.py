@@ -22,9 +22,14 @@ def initialize_distributed(
 ) -> None:
     """Initialize multi-host JAX. No-ops on single-process runs. Arguments
     default to the standard env vars (JAX_COORDINATOR_ADDRESS etc.) or cloud
-    TPU metadata autodetection."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    TPU metadata autodetection.
+
+    Must run before ANYTHING touches the XLA backend — so the
+    already-initialized check is jax.distributed.is_initialized(), never
+    jax.process_count() (which would itself initialize the backend and make
+    the subsequent initialize() raise; caught by tests/test_multihost.py)."""
+    if jax.distributed.is_initialized():
+        return
     explicit = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if explicit or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
         jax.distributed.initialize(
