@@ -46,9 +46,18 @@ STEPS = int(os.environ.get("BENCH_STEPS", "50"))
 SIZE = int(os.environ.get("BENCH_SIZE", "512"))
 RUN_TURBO = os.environ.get("BENCH_TURBO", "1") == "1"
 RUN_VIDEO = os.environ.get("BENCH_VIDEO", "1") == "1"
+# turbo_max: the best quality-bounded serving config (DDIM-25 + the full
+# reuse stack) — the row that answers "how close to the 8 f/s target can
+# this chip actually get" (VERDICT r4 item 2)
+RUN_TURBO_MAX = os.environ.get("BENCH_TURBO_MAX", "1") == "1"
+TURBO_MAX_STEPS = int(os.environ.get("BENCH_TURBO_MAX_STEPS", "25"))
+# PSNR guardrail for turbo_max vs the same-steps exact trajectory (random
+# weights, B=8): the stack must stay >= 65 dB or the row is reported as
+# failing its guardrail
+RUN_QUALITY = os.environ.get("BENCH_QUALITY", "1") == "1"
 # skip optional rows if the run is already this old (cold-cache safety so
 # the driver's budget is never blown by the non-headline rows)
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 TARGET_FPS = 8.0
 _T_START = time.time()
 
@@ -144,6 +153,9 @@ def main() -> None:
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
         "kernel_parity": kernel_parity,
+        # time-to-first-frame: init + compile of the exact serving program
+        # (cold-start cost a serving product pays once per process)
+        "ttff_s": round(init_s + compile_s, 1),
     }
 
     def _budget_left(tag: str) -> bool:
@@ -213,13 +225,13 @@ def main() -> None:
 
     # ---- turbo stack: the measured opt-in approximate envelope ----------
     # optional rows never sink the headline: record the error and move on
+    turbo_modes = dict(deepcache_every=3, pose_every=3, uncond_every=2,
+                       cfg_interval=(0.15, 0.85), bank_every=3,
+                       bank_downsample=2, self_kv_downsample=2)
     if not RUN_TURBO:
         detail["turbo_skipped"] = "BENCH_TURBO=0"
     elif _budget_left("turbo"):
         try:
-            turbo_modes = dict(deepcache_every=3, pose_every=3, uncond_every=2,
-                               cfg_interval=(0.15, 0.85), bank_every=3,
-                               bank_downsample=2, self_kv_downsample=2)
             tscfg = SampleConfig(steps=STEPS, cfg_scale=7.0, **turbo_modes)
             tcompile_s, trun_s = _timed_sample(pipe, pose, ref, tscfg, "turbo")
             detail["turbo_fps"] = round(FRAMES / trun_s, 4)
@@ -229,6 +241,67 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - device-dependent
             detail["turbo_error"] = repr(e)[:200]
             print(f"[bench] turbo row failed: {e!r}", file=sys.stderr,
+                  flush=True)
+
+    # ---- turbo_max: DDIM-25 + full stack, the best quality-bounded config
+    # (every SD user already accepts the step-count tradeoff; the reuse
+    # stack is invisible next to it — BENCH.md turbo-quality table)
+    if not RUN_TURBO_MAX:
+        detail["turbo_max_skipped"] = "BENCH_TURBO_MAX=0"
+    elif _budget_left("turbo_max"):
+        try:
+            tmscfg = SampleConfig(steps=TURBO_MAX_STEPS, cfg_scale=7.0,
+                                  **turbo_modes)
+            tmcompile_s, tmrun_s = _timed_sample(pipe, pose, ref, tmscfg,
+                                                 "turbo_max")
+            detail["turbo_max_fps"] = round(FRAMES / tmrun_s, 4)
+            detail["turbo_max_steps"] = TURBO_MAX_STEPS
+            detail["turbo_max_compile_s"] = round(tmcompile_s, 1)
+            detail["turbo_max_vs_target"] = round(
+                FRAMES / tmrun_s / TARGET_FPS, 4)
+        except Exception as e:  # pragma: no cover - device-dependent
+            detail["turbo_max_error"] = repr(e)[:200]
+            print(f"[bench] turbo_max row failed: {e!r}", file=sys.stderr,
+                  flush=True)
+
+    # ---- turbo_max PSNR guardrail: random weights, B=8, vs the SAME-steps
+    # exact trajectory (schedule truncation itself is bounded separately:
+    # DDIM-25-exact measured 63.4 dB vs DDIM-50-exact, BENCH.md)
+    if not (RUN_QUALITY and RUN_TURBO_MAX):
+        detail["turbo_max_quality_skipped"] = "BENCH_QUALITY=0"
+    elif _budget_left("turbo_max_quality"):
+        try:
+            qb = 8
+            pipe.fast_init_params(jax.random.PRNGKey(11), image_size=SIZE,
+                                  scale=0.02)
+            pipe.cast_model_params(jnp.bfloat16)
+            qpose = pose[:qb]
+            qexact = pipe.sample_frames(
+                jax.random.PRNGKey(12), qpose, ref,
+                SampleConfig(steps=TURBO_MAX_STEPS, cfg_scale=7.0))
+            qturbo = pipe.sample_frames(
+                jax.random.PRNGKey(12), qpose, ref,
+                SampleConfig(steps=TURBO_MAX_STEPS, cfg_scale=7.0,
+                             **turbo_modes))
+            import numpy as np
+
+            def to_u8(x):  # same convention as scripts/bench_turbo_quality
+                return np.clip((np.asarray(x) + 1.0) * 127.5, 0,
+                               255).astype(np.uint8)
+
+            a = to_u8(qexact).astype(np.float64) / 255.0
+            b = to_u8(qturbo).astype(np.float64) / 255.0
+            mse = float(np.mean((a - b) ** 2))
+            psnr = 99.0 if mse == 0 else float(-10.0 * np.log10(mse))
+            detail["turbo_max_psnr_db"] = round(psnr, 2)
+            detail["turbo_max_psnr_guardrail"] = (
+                "ok" if psnr >= 65.0 else "FAIL (<65 dB)")
+            print(f"[bench] turbo_max quality: {psnr:.2f} dB vs exact "
+                  f"DDIM-{TURBO_MAX_STEPS} (B={qb}, random weights)",
+                  file=sys.stderr, flush=True)
+        except Exception as e:  # pragma: no cover - device-dependent
+            detail["turbo_max_quality_error"] = repr(e)[:200]
+            print(f"[bench] turbo_max quality failed: {e!r}", file=sys.stderr,
                   flush=True)
 
     result = {

@@ -211,11 +211,11 @@ class SampleConfig:
     # cut sampler compile time ~40%.
     fused_cfg: bool = False
     # ---- opt-in turbo modes (NOT reference-parity; defaults are exact) ----
-    # Implemented in the DDIM sampler (sampling/ddim.py). The overlap-window
-    # video sampler (sampling/overlap.py) honors cfg_interval, uncond_every,
-    # bank_every and bank_downsample (pose_every/deepcache_every don't apply
-    # there — their caches are window-batched and the window layout rotates
-    # per step). The PLMS / DPM-Solver++ samplers always run exact.
+    # Implemented in the DDIM sampler (sampling/ddim.py) AND the
+    # overlap-window video sampler (sampling/overlap.py — window-batched
+    # caches live in per-absolute-frame space there, so every mode survives
+    # the per-step window rotation). The PLMS / DPM-Solver++ samplers always
+    # run exact.
     # cfg_interval=(lo, hi): apply classifier-free guidance only while the
     # trajectory progress t/T is inside [lo, hi] (inclusive both ends);
     # outside, the uncond UNet
@@ -273,6 +273,13 @@ class SampleConfig:
     # bank_mask kernel).
     self_kv_downsample: int = 1
     self_kv_min_seq: int = 4096
+    # trajectory-scheduled reuse: force EVERY reuse cache (uncond, pose,
+    # deepcache, bank) to refresh on the first / last N executed steps of
+    # the trajectory, so aggressive mid-range strides keep exact endpoints
+    # (the endpoints set global structure at high t and final detail at low
+    # t; mid-range features vary slowest — the DeepCache observation).
+    reuse_exact_first: int = 0
+    reuse_exact_last: int = 0
 
 
 class FreezeRegime(str, enum.Enum):
@@ -352,6 +359,11 @@ class TrainConfig:
     # ever reaches HBM, which is what lets 512² stage-3 fit one chip; "xla"
     # is the plain einsum path (fp32 logits materialized, remat-able)
     attention_impl: str = "auto"
+    # frozen-VAE encode runs in chunks of this many images via lax.map when
+    # the (frame-folded) batch exceeds it: at 512²/F=16 the full-batch
+    # encoder holds three f32[16,512,512,128] activations (2 GB each) that
+    # alone overflow v5e HBM (round-5 measurement). 0 disables chunking.
+    vae_encode_chunk: int = 8
 
 
 def _to_tuple(x: Any) -> Any:

@@ -237,12 +237,6 @@ class MagicPosePipeline:
         use_ref = reference_image is not None and cfg.has_appearance
         ddim = make_ddim_schedule(self.sched, scfg.steps, eta=scfg.eta)
         video = video and cfg.has_temporal
-        if video and (scfg.pose_every > 1 or scfg.deepcache_every > 1):
-            print("[pipeline] pose_every/deepcache_every do not apply to "
-                  "the overlap-window video sampler (their caches are "
-                  "window-batched and the window layout rotates per step); "
-                  "cfg_interval/uncond_every/bank_every do apply",
-                  flush=True)
         decode_chunk = 8
         # memo key = EVERY SampleConfig field + the shape/presence statics.
         # Derived from the whole dataclass so a new sampling flag can never

@@ -109,6 +109,20 @@ def build_turbo_schedules(
     for i_exec in range(S):
         if i_exec % max(scfg.bank_every, 1) == 0:
             bank_refresh[S - 1 - i_exec] = True
+    # trajectory-scheduled reuse (SampleConfig.reuse_exact_first/_last):
+    # exact endpoints, aggressive mid-range — every cache refreshes on the
+    # first/last N executed steps
+    if scfg.reuse_exact_first > 0 or scfg.reuse_exact_last > 0:
+        for i_exec in range(S):
+            if (i_exec < scfg.reuse_exact_first
+                    or i_exec >= S - scfg.reuse_exact_last):
+                step_exec = S - 1 - i_exec
+                pose_refresh[step_exec] = True
+                deep_refresh[step_exec] = True
+                bank_refresh[step_exec] = True
+                if active[step_exec]:
+                    refresh[step_exec] = True
+                    udeep_refresh[step_exec] = True
     return (active, refresh, pose_refresh, deep_refresh, udeep_refresh,
             bank_refresh)
 

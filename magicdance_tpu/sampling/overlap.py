@@ -75,12 +75,15 @@ def ddim_sample_video(
     are bit-compatible with the single-device run (tested on the 8-device
     CPU mesh, tests/test_sharded_inference.py).
 
-    Turbo flags: `cfg_interval`, `uncond_every` and `bank_every` apply here
-    too — the uncond eps is cached in FRAME space (scatter-averaged), so the
-    cache survives the per-step random window rotation, and the appearance
-    bank is window-independent by construction. `pose_every` /
-    `deepcache_every` do NOT apply: their caches are window-batched tensors
-    and the window layout changes every step (the caller warns)."""
+    Turbo flags: ALL of the image path's reuse modes apply here. The trick
+    that makes the window-batched ones legal is caching in FRAME space, per
+    ABSOLUTE frame index (round-5; VERDICT r4 item 5): the uncond eps, the
+    13 pose-ControlNet residual scales, and the DeepCache deep feature are
+    scatter-averaged from the window batch onto the (F, ...) frame axis on
+    refresh steps and gathered back through the CURRENT step's (rotated)
+    window layout on reuse steps — so the caches survive the per-step random
+    window rotation that previously disabled `pose_every`/`deepcache_every`
+    for video. The appearance bank is window-independent by construction."""
     F = x_T.shape[0]
     W = min(scfg.window, F)
     # opt-in self-KV token reduction (see ddim.ddim_sample): applies to the
@@ -105,15 +108,27 @@ def ddim_sample_video(
     ref_ctx = context[:1] if context is not None else None
     has_appearance = reference_latent is not None and model.cfg.has_appearance
     use_bank_reuse = scfg.bank_every > 1 and has_appearance
-    turbo = use_bank_reuse or (
-        use_cfg and (scfg.cfg_interval is not None or scfg.uncond_every > 1)
+    has_controls = (pose_hint is not None and model.cfg.has_pose) or (
+        image_hint is not None and model.cfg.has_image_control)
+    use_pose_reuse = scfg.pose_every > 1 and has_controls
+    use_deepcache = scfg.deepcache_every > 1
+    turbo = (
+        use_bank_reuse or use_pose_reuse or use_deepcache
+        or (use_cfg and (scfg.cfg_interval is not None
+                         or scfg.uncond_every > 1))
     )
+    use_uncond_deepcache = (
+        use_deepcache and use_cfg and scfg.control_mode != "balance")
     if turbo:
-        active_np, refresh_np, _, _, _, bank_refresh_np = \
+        (active_np, refresh_np, pose_refresh_np, deep_refresh_np,
+         udeep_refresh_np, bank_refresh_np) = \
             build_turbo_schedules(scfg, sched.num_timesteps, ddim.timesteps,
                                   use_cfg)
         active_arr = jnp.asarray(active_np)
         refresh_arr = jnp.asarray(refresh_np)
+        pose_refresh_arr = jnp.asarray(pose_refresh_np)
+        deep_refresh_arr = jnp.asarray(deep_refresh_np)
+        udeep_refresh_arr = jnp.asarray(udeep_refresh_np)
         bank_refresh_arr = jnp.asarray(bank_refresh_np)
         if use_bank_reuse:
             bank0 = jax.tree.map(
@@ -127,6 +142,39 @@ def ddim_sample_video(
         else:
             bank0 = ()
 
+        # frame-space (per-ABSOLUTE-frame) turbo caches: window-batched
+        # quantities are stored as (F, ...) so they survive window rotation
+        def _frame_zeros(shape_struct):
+            return jnp.zeros((F,) + shape_struct.shape[1:],
+                             shape_struct.dtype)
+
+        nw_all = n_win * W
+        if use_pose_reuse:
+            pose0 = jax.tree.map(_frame_zeros, jax.eval_shape(
+                lambda: model.apply(
+                    params, jnp.zeros((nw_all,) + x_T.shape[1:], x_T.dtype),
+                    jnp.zeros((nw_all,) + pose_hint.shape[1:],
+                              pose_hint.dtype) if pose_hint is not None
+                    else None,
+                    jnp.zeros((nw_all,), jnp.int32), win_ctx,
+                    image_hint=jnp.zeros(
+                        (nw_all,) + image_hint.shape[1:], image_hint.dtype)
+                    if image_hint is not None else None,
+                    method=model.compute_control_residuals)))
+        else:
+            pose0 = ()
+        if use_deepcache:
+            deep_struct = jax.eval_shape(
+                lambda: model.apply(
+                    params, jnp.zeros((nw_all,) + x_T.shape[1:], x_T.dtype),
+                    jnp.zeros((nw_all,), jnp.int32), win_ctx,
+                    num_frames=W, collect_deep=True,
+                    deep_level=scfg.deepcache_level))[1]
+            deep0 = _frame_zeros(deep_struct)
+        else:
+            deep0 = ()
+        deep_u0 = deep0 if use_uncond_deepcache else ()
+
     def to_eps(out, x, t):
         if parameterization is Parameterization.V:
             return predict_eps_from_v(sched, x, t, out)
@@ -134,7 +182,8 @@ def ddim_sample_video(
 
     def body(carry, i):
         if turbo:
-            x, step_rng, eps_u_frames, bank_prev = carry
+            (x, step_rng, eps_u_frames, pose_prev, deep_prev, deep_u_prev,
+             bank_prev) = carry
         else:
             x, step_rng = carry
         step = S - 1 - i
@@ -189,11 +238,6 @@ def ddim_sample_video(
             if ihint_w is not None:
                 ihint_w = jax.lax.with_sharding_constraint(ihint_w,
                                                            window_sharding)
-        eps_c = model.apply(params, xw, t, win_ctx, bank=bank,
-                            pose_hint=hint_w, image_hint=ihint_w,
-                            num_frames=W, **kv_kw)
-        eps_c = to_eps(eps_c, xw, t)
-
         # scatter-average window predictions back to the frame axis
         # (ref ddim.py:586-594 pred_all/counts)
         def to_frames(eps_w):
@@ -201,6 +245,64 @@ def ddim_sample_video(
             eps_sum = zeros.at[flat_idx].add(eps_w)
             counts = jnp.zeros((F,), jnp.float32).at[flat_idx].add(1.0)
             return eps_sum / counts[:, None, None, None]
+
+        def to_frames_any(vals_w):
+            """Scatter-average an arbitrary window-batched tensor onto the
+            absolute-frame axis (f32 accumulate) — how the turbo caches
+            survive the per-step window rotation."""
+            acc = jnp.zeros((F,) + vals_w.shape[1:], jnp.float32)
+            acc = acc.at[flat_idx].add(vals_w.astype(jnp.float32))
+            counts = jnp.zeros((F,), jnp.float32).at[flat_idx].add(1.0)
+            out = acc / counts.reshape((F,) + (1,) * (vals_w.ndim - 1))
+            return out.astype(vals_w.dtype)
+
+        # pose-ControlNet residual reuse, cached per absolute frame (all 13
+        # scales); refresh steps compute on the current window layout,
+        # scatter to frames, and every step gathers through the CURRENT
+        # layout, so rotation is harmless
+        pose_kw = {}
+        pose_frames = pose_prev if turbo else ()
+        if turbo and use_pose_reuse:
+            def fresh_pose(_):
+                res = model.apply(params, xw, hint_w, t, win_ctx,
+                                  image_hint=ihint_w,
+                                  method=model.compute_control_residuals,
+                                  **kv_kw)
+                return jax.tree.map(to_frames_any, res)
+
+            pose_frames = jax.lax.cond(pose_refresh_arr[step], fresh_pose,
+                                       lambda _: pose_prev, None)
+            pose_kw = dict(pose_residuals=jax.tree.map(
+                lambda r: r[flat_idx], pose_frames))
+
+        # DeepCache for the cond pass, deep feature cached per absolute frame
+        if turbo and use_deepcache:
+            def fresh_cond(_):
+                e, d = model.apply(params, xw, t, win_ctx, bank=bank,
+                                   pose_hint=hint_w, image_hint=ihint_w,
+                                   num_frames=W, collect_deep=True,
+                                   deep_level=scfg.deepcache_level,
+                                   **pose_kw, **kv_kw)
+                return e, to_frames_any(d)
+
+            def reuse_cond(_):
+                e = model.apply(params, xw, t, win_ctx, bank=bank,
+                                pose_hint=hint_w, image_hint=ihint_w,
+                                num_frames=W,
+                                deep_cache_in=deep_prev[flat_idx],
+                                deep_level=scfg.deepcache_level,
+                                **pose_kw, **kv_kw)
+                return e, deep_prev
+
+            eps_c, deep_frames = jax.lax.cond(deep_refresh_arr[step],
+                                              fresh_cond, reuse_cond, None)
+            eps_c = to_eps(eps_c, xw, t)
+        else:
+            deep_frames = deep_prev if turbo else ()
+            eps_c = model.apply(params, xw, t, win_ctx, bank=bank,
+                                pose_hint=hint_w, image_hint=ihint_w,
+                                num_frames=W, **pose_kw, **kv_kw)
+            eps_c = to_eps(eps_c, xw, t)
 
         if not turbo:
             if use_cfg:
@@ -212,17 +314,39 @@ def ddim_sample_video(
                 eps = to_frames(eps_c)
         else:
             eps_c_frames = to_frames(eps_c)
+            deep_u_frames = deep_u_prev
             if use_cfg:
                 # uncond eps cached in FRAME space so the cache survives the
-                # per-step window rotation
+                # per-step window rotation; the vanilla-SD uncond pass gets
+                # its own frame-space DeepCache (ordinal schedule, see
+                # build_turbo_schedules)
                 def fresh_uncond(_):
+                    if use_uncond_deepcache:
+                        def u_full(_):
+                            e, d = model.apply(
+                                params, xw, t, win_uctx, uc=True,
+                                num_frames=W, collect_deep=True,
+                                deep_level=scfg.deepcache_level, **kv_kw)
+                            return e, to_frames_any(d)
+
+                        def u_shallow(_):
+                            e = model.apply(
+                                params, xw, t, win_uctx, uc=True,
+                                num_frames=W,
+                                deep_cache_in=deep_u_prev[flat_idx],
+                                deep_level=scfg.deepcache_level, **kv_kw)
+                            return e, deep_u_prev
+
+                        eu, du = jax.lax.cond(udeep_refresh_arr[step],
+                                              u_full, u_shallow, None)
+                        return to_frames(to_eps(eu, xw, t)), du
                     eu = model.apply(params, xw, t, win_uctx, uc=True,
                                      num_frames=W, **kv_kw)
-                    return to_frames(to_eps(eu, xw, t))
+                    return to_frames(to_eps(eu, xw, t)), deep_u_prev
 
-                eps_u_frames = jax.lax.cond(
+                eps_u_frames, deep_u_frames = jax.lax.cond(
                     refresh_arr[step], fresh_uncond,
-                    lambda _: eps_u_frames, None)
+                    lambda _: (eps_u_frames, deep_u_prev), None)
                 eps = jnp.where(
                     active_arr[step],
                     eps_u_frames
@@ -237,12 +361,12 @@ def ddim_sample_video(
             x, eps, ddim.alphas[step], ddim.alphas_prev[step],
             ddim.sqrt_one_minus_alphas[step], ddim.sigmas[step], noise)
         if turbo:
-            return (x_prev, step_rng, eps_u_frames,
-                    bank if use_bank_reuse else ()), None
+            return (x_prev, step_rng, eps_u_frames, pose_frames, deep_frames,
+                    deep_u_frames, bank if use_bank_reuse else ()), None
         return (x_prev, step_rng), None
 
     if turbo:
-        carry0 = (x_T, rng, jnp.zeros_like(x_T), bank0)
+        carry0 = (x_T, rng, jnp.zeros_like(x_T), pose0, deep0, deep_u0, bank0)
         (x0, *_), _ = jax.lax.scan(body, carry0, jnp.arange(S))
     else:
         (x0, _), _ = jax.lax.scan(body, (x_T, rng), jnp.arange(S))

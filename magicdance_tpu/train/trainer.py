@@ -225,18 +225,36 @@ class Trainer:
         # frozen feature extractors — no grads flow through them
         from magicdance_tpu.ops.attention import attention_impl
 
+        def vae_encode(imgs, rng):
+            """Frozen-VAE encode, chunked over the (frame-folded) batch so
+            the full-res f32 encoder activations never exceed chunk-size
+            batches (cfg.vae_encode_chunk; the 512²/F=16 HBM fix)."""
+            chunk = cfg.vae_encode_chunk
+            n = imgs.shape[0]
+            if chunk and n > chunk and n % chunk == 0:
+                rngs = jax.random.split(rng, n // chunk)
+
+                def enc(args):
+                    im, r = args
+                    post = self.vae.apply(vae_params, im,
+                                          method=self.vae.encode)
+                    return post.sample(r)
+
+                z = jax.lax.map(
+                    enc, (imgs.reshape(n // chunk, chunk, *imgs.shape[1:]),
+                          rngs))
+                z = z.reshape(n, *z.shape[2:])
+            else:
+                z = self.vae.apply(vae_params, imgs,
+                                   method=self.vae.encode).sample(rng)
+            return encode_to_latent(z, cfg.model.vae.scale_factor)
+
         with attention_impl("auto"):
-            post = self.vae.apply(vae_params, batch["image"], method=self.vae.encode)
-            x0 = encode_to_latent(post.sample(rng_vae), cfg.model.vae.scale_factor)
+            x0 = vae_encode(batch["image"], rng_vae)
 
             ref_latent = None
             if cfg.model.has_appearance:
-                ref_post = self.vae.apply(
-                    vae_params, batch["reference"], method=self.vae.encode
-                )
-                ref_latent = encode_to_latent(
-                    ref_post.sample(rng_ref), cfg.model.vae.scale_factor
-                )
+                ref_latent = vae_encode(batch["reference"], rng_ref)
 
             context = self.clip.apply(clip_params, batch["input_ids"])
         x0 = jax.lax.stop_gradient(x0)
