@@ -1,11 +1,21 @@
-"""DPM-Solver++(2M) sampler as a lax.scan.
+"""DPM-Solver++ samplers (2M, 3M, and SDE variants) as lax.scan programs.
 
 Covers the reference's DPM-Solver surface
-(ref: ldm/models/diffusion/dpm_solver/ — 1,239 LoC of NoiseSchedule +
-multi-order solver machinery; unused by the MagicPose entry points). This is
-the widely-used 2nd-order multistep variant (DPM-Solver++ 2M,
-data-prediction formulation), which matches the reference solver's quality
-at 15-25 steps while staying a single compiled scan.
+(ref: ldm/models/diffusion/dpm_solver/dpm_solver.py — 1,239 LoC of
+NoiseSchedule + single/multi-step order-1/2/3 solver machinery; unused by
+the MagicPose entry points). Implemented here in the data-prediction
+("++") formulation over λ = log(α/σ):
+
+  * `dpmpp_2m_sample` — 2nd-order multistep, the widely-used default at
+    15-25 steps.
+  * `dpmpp_3m_sample` — 3rd-order multistep with optional stochastic
+    (SDE) churn via ``sde_eta`` (η=0 is the deterministic ODE solver;
+    η>0 adds the exponential-integrator noise term). Order falls back
+    2 → 1 on the warm-up steps where history is not yet available.
+
+Both are single compiled scans with static shapes; per-step model calls
+reuse the same MagicPose conditioning path as the DDIM sampler (bank,
+pose, CFG, wonoise — ref ddim.py:519-645 quirks preserved).
 """
 
 from __future__ import annotations
@@ -24,22 +34,9 @@ from magicdance_tpu.ops.schedules import (
 )
 
 
-def dpmpp_2m_sample(
-    model: Any,
-    params: Any,
-    sched: DiffusionSchedule,
-    num_steps: int,
-    scfg: SampleConfig,
-    rng: jax.Array,
-    x_T: jax.Array,
-    context: jax.Array,
-    uncond_context: Optional[jax.Array] = None,
-    *,
-    reference_latent: Optional[jax.Array] = None,
-    pose_hint: Optional[jax.Array] = None,
-    parameterization: Parameterization = Parameterization.EPS,
-) -> jax.Array:
-    """x_T: (B, h, w, 4). Uniform-lambda timestep selection over [T-1, 0]."""
+def _prep(model, params, sched, num_steps, scfg, x_T, context,
+          uncond_context, reference_latent, pose_hint, parameterization):
+    """Shared knot schedule + x0-prediction closure for the ++ solvers."""
     B = x_T.shape[0]
     acp = np.asarray(sched.alphas_cumprod)
     T = acp.shape[0]
@@ -89,6 +86,29 @@ def dpmpp_2m_sample(
         s = jnp.take(jnp.sqrt(1.0 - sched.alphas_cumprod), t_scalar)
         return (x - s * e) / a
 
+    return alphas, sigmas, lambdas, t_knots, x0_at
+
+
+def dpmpp_2m_sample(
+    model: Any,
+    params: Any,
+    sched: DiffusionSchedule,
+    num_steps: int,
+    scfg: SampleConfig,
+    rng: jax.Array,
+    x_T: jax.Array,
+    context: jax.Array,
+    uncond_context: Optional[jax.Array] = None,
+    *,
+    reference_latent: Optional[jax.Array] = None,
+    pose_hint: Optional[jax.Array] = None,
+    parameterization: Parameterization = Parameterization.EPS,
+) -> jax.Array:
+    """x_T: (B, h, w, 4). Uniform-lambda timestep selection over [T-1, 0]."""
+    alphas, sigmas, lambdas, t_knots, x0_at = _prep(
+        model, params, sched, num_steps, scfg, x_T, context, uncond_context,
+        reference_latent, pose_hint, parameterization)
+
     def body(carry, i):
         x, x0_prev, have_prev, step_rng = carry
         step_rng, r1 = jax.random.split(step_rng)
@@ -114,6 +134,94 @@ def dpmpp_2m_sample(
     (x_last, x0_last, _, _), _ = jax.lax.scan(
         body,
         (x_T, jnp.zeros_like(x_T), jnp.zeros((), jnp.int32), rng),
+        jnp.arange(num_steps),
+    )
+    return x0_last
+
+
+def dpmpp_3m_sample(
+    model: Any,
+    params: Any,
+    sched: DiffusionSchedule,
+    num_steps: int,
+    scfg: SampleConfig,
+    rng: jax.Array,
+    x_T: jax.Array,
+    context: jax.Array,
+    uncond_context: Optional[jax.Array] = None,
+    *,
+    reference_latent: Optional[jax.Array] = None,
+    pose_hint: Optional[jax.Array] = None,
+    parameterization: Parameterization = Parameterization.EPS,
+    sde_eta: float = 0.0,
+) -> jax.Array:
+    """3rd-order multistep DPM-Solver++ (optionally SDE).
+
+    VP-space update per step (λ = log(α/σ), h = λ_{i+1} − λ_i,
+    h_η = h·(1+η)):
+
+        x ← (σ_{i+1}/σ_i)·e^{h−h_η}·x − α_{i+1}·expm1(−h_η)·x0
+              + α_{i+1}·(φ₂·d1 − φ₃·d2)  [history corrections]
+              + σ_{i+1}·sqrt(−expm1(−2ηh))·ξ   [η>0 only]
+
+    with φ₂ = expm1(−h_η)/h_η + 1, φ₃ = φ₂/h_η − 0.5 and d1/d2 the 1st/2nd
+    finite differences of the last three x0 predictions over λ. Orders ramp
+    1 → 2 → 3 while history fills (the 1-history step uses the φ₂·d1
+    second-order correction). η=0 reduces to the deterministic 3M ODE
+    solver.
+    """
+    alphas, sigmas, lambdas, t_knots, x0_at = _prep(
+        model, params, sched, num_steps, scfg, x_T, context, uncond_context,
+        reference_latent, pose_hint, parameterization)
+    eta = float(sde_eta)
+
+    def body(carry, i):
+        x, x0_1, x0_2, n_hist, step_rng = carry
+        step_rng, r1, r_noise = jax.random.split(step_rng, 3)
+        x0 = x0_at(x, t_knots[i], r1)
+
+        lam_cur, lam_next = lambdas[i], lambdas[i + 1]
+        h = lam_next - lam_cur
+        h_eta = h * (1.0 + eta)
+        # previous step sizes (guarded at the trajectory start)
+        h_1 = lam_cur - lambdas[jnp.maximum(i - 1, 0)]
+        h_2 = lambdas[jnp.maximum(i - 1, 0)] - lambdas[jnp.maximum(i - 2, 0)]
+        r0 = h_1 / jnp.maximum(h, 1e-8)
+        r1_ = h_2 / jnp.maximum(h, 1e-8)
+
+        phi_1 = jnp.expm1(-h_eta)
+        phi_2 = phi_1 / jnp.maximum(h_eta, 1e-8) + 1.0
+        phi_3 = phi_2 / jnp.maximum(h_eta, 1e-8) - 0.5
+
+        d1_0 = (x0 - x0_1) / jnp.maximum(r0, 1e-8)
+        d1_1 = (x0_1 - x0_2) / jnp.maximum(r1_, 1e-8)
+
+        def corr3():
+            d1 = d1_0 + (d1_0 - d1_1) * r0 / (r0 + r1_)
+            d2 = (d1_0 - d1_1) / (r0 + r1_)
+            return phi_2 * d1 - phi_3 * d2
+
+        def corr2():
+            return phi_2 * d1_0
+
+        corr = jnp.where(
+            n_hist >= 2, corr3(), jnp.where(n_hist == 1, corr2(),
+                                            jnp.zeros_like(x0)))
+        x_next = (
+            sigmas[i + 1] / sigmas[i] * jnp.exp(h - h_eta) * x
+            - alphas[i + 1] * phi_1 * x0
+            + alphas[i + 1] * corr
+        )
+        if eta > 0:
+            churn = jnp.sqrt(-jnp.expm1(-2.0 * eta * h))
+            x_next = x_next + sigmas[i + 1] * churn * jax.random.normal(
+                r_noise, x.shape, x.dtype)
+        return (x_next, x0, x0_1, jnp.minimum(n_hist + 1, 2), step_rng), None
+
+    (x_last, x0_last, _, _, _), _ = jax.lax.scan(
+        body,
+        (x_T, jnp.zeros_like(x_T), jnp.zeros_like(x_T),
+         jnp.zeros((), jnp.int32), rng),
         jnp.arange(num_steps),
     )
     return x0_last

@@ -966,3 +966,90 @@ def test_reuse_exact_endpoints_schedule():
                     jax.random.PRNGKey(5), x_T, ctx, uctx, **kw)
     np.testing.assert_allclose(np.asarray(o), np.asarray(exact),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_dpmpp_3m_sampler():
+    """DPM-Solver++ 3M: golden trajectory vs an independent eager-loop
+    implementation of the same update (no scan, straight numpy-style),
+    plus SDE variant sanity (finite, deterministic, differs from ODE)."""
+    import numpy as np
+
+    from magicdance_tpu.sampling.dpm import dpmpp_3m_sample
+
+    cfg = tiny_cfg()
+    model, params = init_model(cfg, B=2)
+    sched = make_schedule(cfg.diffusion)
+    scfg = SampleConfig(steps=6, cfg_scale=7.0)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 16))
+    uctx = jnp.zeros_like(ctx)
+    ref = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 4))
+    hint = jax.random.uniform(jax.random.PRNGKey(4), (2, 64, 64, 3))
+    kw = dict(reference_latent=ref, pose_hint=hint)
+
+    out = dpmpp_3m_sample(model, params, sched, 6, scfg,
+                          jax.random.PRNGKey(5), x_T, ctx, uctx, **kw)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # ---- independent eager reimplementation (history as Python vars) ----
+    acp = np.asarray(sched.alphas_cumprod)
+    T = acp.shape[0]
+    ts = np.linspace(T - 1, 0, 7).round().astype(np.int32)
+    al = np.sqrt(acp[ts])
+    si = np.sqrt(1.0 - acp[ts])
+    lam = np.log(al) - np.log(si)
+
+    def x0_of(x, t_scalar):
+        B = x.shape[0]
+        t = jnp.full((B,), int(t_scalar), jnp.int32)
+        bank = model.apply(params, ref,
+                           jnp.full((1,), int(t_scalar), jnp.int32),
+                           ctx[:1], method=model.compute_bank)
+        e = model.apply(params, x, t, jnp.broadcast_to(ctx, (B, 5, 16)),
+                        bank=bank, pose_hint=hint)
+        eu = model.apply(params, x, t, jnp.broadcast_to(uctx, (B, 5, 16)),
+                        uc=True)
+        e = eu + 7.0 * (e - eu)
+        a = float(np.sqrt(acp[int(t_scalar)]))
+        s = float(np.sqrt(1.0 - acp[int(t_scalar)]))
+        return (x - s * e) / a
+
+    x = x_T
+    x0_1 = x0_2 = None
+    for i in range(6):
+        x0 = x0_of(x, ts[i])
+        h = lam[i + 1] - lam[i]
+        phi_1 = np.expm1(-h)
+        phi_2 = phi_1 / h + 1.0
+        phi_3 = phi_2 / h - 0.5
+        if x0_2 is not None:
+            h_1 = lam[i] - lam[i - 1]
+            h_2 = lam[i - 1] - lam[i - 2]
+            r0, r1 = h_1 / h, h_2 / h
+            d1_0 = (x0 - x0_1) / r0
+            d1_1 = (x0_1 - x0_2) / r1
+            d1 = d1_0 + (d1_0 - d1_1) * r0 / (r0 + r1)
+            d2 = (d1_0 - d1_1) / (r0 + r1)
+            corr = phi_2 * d1 - phi_3 * d2
+        elif x0_1 is not None:
+            h_1 = lam[i] - lam[i - 1]
+            d1_0 = (x0 - x0_1) / (h_1 / h)
+            corr = phi_2 * d1_0
+        else:
+            corr = jnp.zeros_like(x0)
+        x = (si[i + 1] / si[i] * x - al[i + 1] * phi_1 * x0
+             + al[i + 1] * corr)
+        x0_2, x0_1 = x0_1, x0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0_1),
+                               atol=2e-4, rtol=2e-4)
+
+    # SDE variant: finite, deterministic under the same key, differs
+    s1 = dpmpp_3m_sample(model, params, sched, 6, scfg,
+                         jax.random.PRNGKey(5), x_T, ctx, uctx,
+                         sde_eta=1.0, **kw)
+    s2 = dpmpp_3m_sample(model, params, sched, 6, scfg,
+                         jax.random.PRNGKey(5), x_T, ctx, uctx,
+                         sde_eta=1.0, **kw)
+    assert np.isfinite(np.asarray(s1)).all()
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    assert not np.allclose(np.asarray(s1), np.asarray(out), atol=1e-4)
