@@ -184,6 +184,12 @@ class Trainer:
                 if p.dtype == jnp.float32 else p,
                 frozen,
             )
+        elif self.cfg.optim.frozen_dtype == "int8":
+            # weight-only int8 STORAGE (train/quant.py): halves the frozen
+            # weight stream; compute still dequantizes to bf16
+            from magicdance_tpu.train.quant import quantize_tree
+
+            frozen = quantize_tree(frozen)
         opt_state = self.tx.init(train)
         ema = jax.tree.map(jnp.copy, train) if self.cfg.optim.ema_rate > 0 else None
         return TrainState(
@@ -216,6 +222,10 @@ class Trainer:
     # -- step -------------------------------------------------------------
     def _loss(self, train_params, frozen_params, batch, rng):
         cfg = self.cfg
+        if cfg.optim.frozen_dtype == "int8":
+            from magicdance_tpu.train.quant import dequantize_tree
+
+            frozen_params = dequantize_tree(frozen_params)
         model_params = {"params": merge_params(train_params, frozen_params["model"])}
         vae_params = {"params": frozen_params["vae"]}
         clip_params = {"params": frozen_params["clip"]}

@@ -36,6 +36,9 @@ from magicdance_tpu.train.trainer import Trainer
 SIZE = 512
 BS_LIST = [int(b) for b in os.environ.get("BS_LIST", "1,2,4,8").split(",")]
 REGIME = FreezeRegime(os.environ.get("REGIME", "pose_only"))
+# frozen-weight STORAGE dtype: "bfloat16" (default) or "int8"
+# (weight-only quantized streaming A/B, magicdance_tpu/train/quant.py)
+FROZEN_DTYPE = os.environ.get("FROZEN_DTYPE", "bfloat16")
 PEAK_TFLOPS = 197e12  # v5e bf16
 
 
@@ -58,8 +61,10 @@ def main():
     clip = CLIPTextEncoder(model_cfg.clip)
 
     for bs in BS_LIST:
+        from magicdance_tpu.config import OptimConfig
         cfg = TrainConfig(model=model_cfg, freeze=REGIME,
-                          batch_size_per_device=bs, image_size=SIZE)
+                          batch_size_per_device=bs, image_size=SIZE,
+                          optim=OptimConfig(frozen_dtype=FROZEN_DTYPE))
         trainer = Trainer(cfg, model, vae, clip)
         state = trainer.create_state(params["model"], params["vae"],
                                      params["clip"])
@@ -98,6 +103,7 @@ def main():
             mfu = flops / step_s / PEAK_TFLOPS if flops == flops else None
             print(json.dumps({
                 "bs": bs, "regime": REGIME.value,
+                "frozen_dtype": FROZEN_DTYPE,
                 "step_s": round(step_s, 2),
                 "imgs_per_sec": round(bs / step_s, 3),
                 "compile_s": round(compile_s, 1),

@@ -193,3 +193,43 @@ def test_grad_accum_steps(built):
         for a, b in zip(train_before, jax.tree.leaves(s.train_params))
     )
     assert moved
+
+
+def test_int8_frozen_storage(built):
+    """frozen_dtype='int8': train step runs with the quantized frozen tree
+    and its loss stays close to the bf16-frozen step (weight-only storage
+    quantization; train/quant.py)."""
+    model, vae, clip, mp, vp, cp = built
+    losses = {}
+    for fd in ("bfloat16", "int8"):
+        from magicdance_tpu.config import OptimConfig
+
+        cfg = tiny_train_cfg(optim=OptimConfig(learning_rate=1e-3,
+                                               warmup_steps=2,
+                                               frozen_dtype=fd))
+        tr = Trainer(cfg, model, vae, clip)
+        state = tr.create_state(jax.tree.map(jnp.copy, mp),
+                                jax.tree.map(jnp.copy, vp),
+                                jax.tree.map(jnp.copy, cp))
+        if fd == "int8":
+            from magicdance_tpu.train.quant import QuantizedLeaf, has_quantized
+
+            assert has_quantized(state.frozen_params)
+            # at least one big leaf is int8 on device
+            qleaves = [x for x in jax.tree.leaves(
+                state.frozen_params,
+                is_leaf=lambda l: isinstance(l, QuantizedLeaf))
+                if isinstance(x, QuantizedLeaf)]
+            assert qleaves and qleaves[0].q.dtype == jnp.int8
+        B = 4
+        batch = {"image": jnp.ones((B, 16, 16, 3)) * 0.1,
+                 "reference": jnp.ones((B, 16, 16, 3)) * 0.2,
+                 "pose": jnp.zeros((B, 64, 64, 3)),
+                 "input_ids": jnp.zeros((B, 5), jnp.int32)}
+        new_state, metrics = tr.train_step(state, batch, jax.random.PRNGKey(7))
+        loss = float(metrics["loss"])
+        assert np.isfinite(loss)
+        losses[fd] = loss
+    # per-channel int8 weight quantization perturbs the loss only mildly
+    assert abs(losses["int8"] - losses["bfloat16"]) < 0.15 * (
+        abs(losses["bfloat16"]) + 1e-3)
