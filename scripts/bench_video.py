@@ -45,6 +45,19 @@ variants = {
                                        self_kv_downsample=2),
     "video_exact_selfkv": SampleConfig(steps=STEPS, cfg_scale=7.0, window=16,
                                        stride=12, self_kv_downsample=2),
+    # round 5: pose_every/deepcache_every now legal in the video sampler
+    # (per-absolute-frame caches survive window rotation, sampling/overlap.py)
+    "video_turbo_full": SampleConfig(steps=STEPS, cfg_scale=7.0, window=16,
+                                     stride=12, uncond_every=2,
+                                     cfg_interval=(0.15, 0.85), bank_every=3,
+                                     bank_downsample=2, self_kv_downsample=2,
+                                     pose_every=3, deepcache_every=3),
+    "video_turbo_full25": SampleConfig(steps=25, cfg_scale=7.0, window=16,
+                                       stride=12, uncond_every=2,
+                                       cfg_interval=(0.15, 0.85), bank_every=3,
+                                       bank_downsample=2,
+                                       self_kv_downsample=2,
+                                       pose_every=3, deepcache_every=3),
 }
 _sel = os.environ.get("VARIANTS")
 if _sel:
