@@ -61,6 +61,12 @@ def main():
     clip = CLIPTextEncoder(model_cfg.clip)
 
     for bs in BS_LIST:
+        # free the previous batch size's train state BEFORE creating the
+        # next (round-5: bs=2's ~15 GB state still resident made bs=4
+        # RESOURCE_EXHAUSTED at runtime; each bs alone fits fine)
+        import gc as _gc
+        state = new_state = step = None
+        _gc.collect()
         from magicdance_tpu.config import OptimConfig
         cfg = TrainConfig(model=model_cfg, freeze=REGIME,
                           batch_size_per_device=bs, image_size=SIZE,
@@ -115,7 +121,7 @@ def main():
             }), flush=True)
         except Exception as e:
             print(json.dumps({"bs": bs, "error": repr(e)[:200]}), flush=True)
-            break
+            continue
         del state, step
         trainer._jit_step = None
 
