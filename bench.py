@@ -246,16 +246,28 @@ def main() -> None:
     # ---- turbo_max: DDIM-25 + full stack, the best quality-bounded config
     # (every SD user already accepts the step-count tradeoff; the reuse
     # stack is invisible next to it — BENCH.md turbo-quality table)
+    # winning config of the round-5 lever sweep (scripts/bench_turbo5.py):
+    # aggressive mid-range strides with exact endpoints + pooling extended
+    # to the S=1024 sites — 5.75 f/s at B=32/DDIM-25, 68.3 dB vs exact-25
+    turbo_max_modes = dict(
+        deepcache_every=4, pose_every=4, uncond_every=3,
+        cfg_interval=(0.15, 0.85), bank_every=5,
+        bank_downsample=2, bank_downsample_min_seq=1024,
+        self_kv_downsample=2, self_kv_min_seq=1024,
+        reuse_exact_first=2, reuse_exact_last=2)
     if not RUN_TURBO_MAX:
         detail["turbo_max_skipped"] = "BENCH_TURBO_MAX=0"
     elif _budget_left("turbo_max"):
         try:
             tmscfg = SampleConfig(steps=TURBO_MAX_STEPS, cfg_scale=7.0,
-                                  **turbo_modes)
+                                  **turbo_max_modes)
             tmcompile_s, tmrun_s = _timed_sample(pipe, pose, ref, tmscfg,
                                                  "turbo_max")
             detail["turbo_max_fps"] = round(FRAMES / tmrun_s, 4)
             detail["turbo_max_steps"] = TURBO_MAX_STEPS
+            detail["turbo_max_modes"] = {
+                k: list(v) if isinstance(v, tuple) else v
+                for k, v in turbo_max_modes.items()}
             detail["turbo_max_compile_s"] = round(tmcompile_s, 1)
             detail["turbo_max_vs_target"] = round(
                 FRAMES / tmrun_s / TARGET_FPS, 4)
@@ -282,7 +294,7 @@ def main() -> None:
             qturbo = pipe.sample_frames(
                 jax.random.PRNGKey(12), qpose, ref,
                 SampleConfig(steps=TURBO_MAX_STEPS, cfg_scale=7.0,
-                             **turbo_modes))
+                             **turbo_max_modes))
             import numpy as np
 
             def to_u8(x):  # same convention as scripts/bench_turbo_quality
