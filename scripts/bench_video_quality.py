@@ -76,6 +76,7 @@ for name, scfg in VARIANTS.items():
         t0 = time.time()
         out = pipe.sample_frames(jax.random.PRNGKey(3), pose, ref, scfg,
                                  video=True)
+        _ = float(jnp.mean(out))  # scalar sync; async dispatch lies
         rec["fps"] = round(FRAMES / (time.time() - t0), 3)
         if name == "exact":
             exact_u8 = u8
