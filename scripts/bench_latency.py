@@ -35,7 +35,16 @@ variants = {
                                    deepcache_every=3, pose_every=3,
                                    uncond_every=2, cfg_interval=(0.15, 0.85),
                                    bank_every=3),
+    # round 5: the shipped turbo_max operating point (DDIM-20 combo)
+    "turbo_max20": SampleConfig(steps=20, cfg_scale=7.0, deepcache_every=5,
+                                pose_every=5, uncond_every=4,
+                                cfg_interval=(0.15, 0.85), bank_every=8,
+                                bank_downsample=4, self_kv_downsample=4,
+                                reuse_exact_first=2, reuse_exact_last=2),
 }
+_sel = os.environ.get("VARIANTS")
+if _sel:
+    variants = {k: variants[k] for k in _sel.split(",")}
 for name, scfg in variants.items():
     t0 = time.time()
     out = pipe.sample_frames(jax.random.PRNGKey(3), pose, ref, scfg)
