@@ -35,6 +35,7 @@ from magicdance_tpu.train.trainer import Trainer
 
 SIZE = int(os.environ.get("SIZE", "512"))
 F_LIST = [int(f) for f in os.environ.get("F_LIST", "16,8").split(",")]
+FROZEN_DTYPE = os.environ.get("FROZEN_DTYPE", "bfloat16")
 PEAK_TFLOPS = 197e12  # v5e bf16
 
 model_cfg = ModelConfig(variant=ModelVariant.APPEARANCE_POSE_TEMPORAL,
@@ -49,9 +50,11 @@ vae = AutoencoderKL(model_cfg.vae)
 clip = CLIPTextEncoder(model_cfg.clip)
 
 for F in F_LIST:
+    from magicdance_tpu.config import OptimConfig
     cfg = TrainConfig(model=model_cfg, freeze=FreezeRegime.MOTION_ONLY,
                       batch_size_per_device=1, image_size=SIZE,
-                      video_frames=F)
+                      video_frames=F,
+                      optim=OptimConfig(frozen_dtype=FROZEN_DTYPE))
     trainer = Trainer(cfg, model, vae, clip)
     state = trainer.create_state(params["model"], params["vae"],
                                  params["clip"])
@@ -87,7 +90,7 @@ for F in F_LIST:
             flops = float("nan")
         mfu = flops / step_s / PEAK_TFLOPS if flops == flops else None
         print(json.dumps({
-            "frames_per_clip": F, "regime": "motion_only",
+            "frames_per_clip": F, "frozen_dtype": FROZEN_DTYPE, "regime": "motion_only",
             "step_s": round(step_s, 2),
             "frames_per_sec": round(F / step_s, 3),
             "compile_s": round(compile_s, 1),
@@ -100,7 +103,7 @@ for F in F_LIST:
     except Exception as e:
         # full text: the axon compile-helper's stderr rides in the HTTP 500
         # body and the failure reason (e.g. OOM-kill) is at the END of it
-        print(json.dumps({"frames_per_clip": F, "error": repr(e)[:12000]}),
+        print(json.dumps({"frames_per_clip": F, "frozen_dtype": FROZEN_DTYPE, "error": repr(e)[:12000]}),
               flush=True)
     # free EVERYTHING device-resident before the next F: new_state/metrics
     # from the measured steps hold a full ~11 GB train state — leaking them

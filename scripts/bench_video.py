@@ -58,6 +58,19 @@ variants = {
                                        bank_downsample=2,
                                        self_kv_downsample=2,
                                        pose_every=3, deepcache_every=3),
+    # round 5b: the image path's winning "combo" levers applied to video
+    "video_max": SampleConfig(steps=STEPS, cfg_scale=7.0, window=16,
+                              stride=12, uncond_every=4,
+                              cfg_interval=(0.15, 0.85), bank_every=8,
+                              bank_downsample=4, self_kv_downsample=4,
+                              pose_every=5, deepcache_every=5,
+                              reuse_exact_first=2, reuse_exact_last=2),
+    "video_max25": SampleConfig(steps=25, cfg_scale=7.0, window=16,
+                                stride=12, uncond_every=4,
+                                cfg_interval=(0.15, 0.85), bank_every=8,
+                                bank_downsample=4, self_kv_downsample=4,
+                                pose_every=5, deepcache_every=5,
+                                reuse_exact_first=2, reuse_exact_last=2),
 }
 _sel = os.environ.get("VARIANTS")
 if _sel:

@@ -42,6 +42,11 @@ VARIANTS = {
                                cfg_interval=(0.15, 0.85), bank_every=3,
                                bank_downsample=2, self_kv_downsample=2,
                                pose_every=3, deepcache_every=3),
+    "video_max": SampleConfig(**BASE, uncond_every=4,
+                              cfg_interval=(0.15, 0.85), bank_every=8,
+                              bank_downsample=4, self_kv_downsample=4,
+                              pose_every=5, deepcache_every=5,
+                              reuse_exact_first=2, reuse_exact_last=2),
 }
 keep = os.environ.get("VARIANTS")
 if keep:
