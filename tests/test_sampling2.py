@@ -19,9 +19,9 @@ from test_sampling import init_model, tiny_cfg
 def test_overlap_video_pose_deepcache():
     """Round 5: pose_every / deepcache_every apply to the video sampler via
     per-ABSOLUTE-frame caches (scatter-averaged to the frame axis, gathered
-    through the current rotated window layout). stride-1 schedules refresh
-    every step, so outputs must match the cache-free turbo path; strided
-    variants run, are deterministic, and differ from exact."""
+    through the current rotated window layout — so even refresh steps read
+    the frame-averaged values, by design). Strided variants must run, be
+    deterministic, and differ from the exact path."""
     import numpy as np
 
     cfg = tiny_cfg(motion=True)
